@@ -1,0 +1,146 @@
+"""Config system: dataclass config + reference-compatible CLI parser.
+
+Mirrors the reference's argparse surface (SURVEY.md §2.1/§5 "Config / flag
+system": ``bts_main.py`` argparse with arguments-file loading, canonical
+hyperparameters in ``arguments_*.txt``).  The reference loads an arguments
+file whose lines are ``--flag value`` pairs; we accept the same files both as
+``@arguments_train_nyu.txt`` (argparse fromfile syntax) and as a bare
+positional first token (upstream style: ``python bts_main.py arguments_train_nyu.txt``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+# Flag names follow the reference CLI (SURVEY.md §2.1, §2.16) so that the
+# reference's arguments_*.txt files parse unmodified.
+
+
+@dataclass
+class Config:
+    # -- identity / mode
+    mode: str = "train"  # train | test | eval | sequence
+    model_name: str = "bts_v1"
+    # -- model
+    encoder: str = "densenet161_bts"
+    bts_size: int = 512  # decoder num_features
+    max_depth: float = 80.0
+    min_depth: float = 1e-3
+    # -- data
+    dataset: str = "kitti"  # kitti | nyu
+    data_path: str = ""
+    gt_path: str = ""
+    filenames_file: str = ""
+    input_height: int = 352
+    input_width: int = 704
+    do_kb_crop: bool = False
+    use_right: bool = False
+    # -- augmentation
+    do_random_rotate: bool = False
+    degree: float = 1.0
+    # -- training
+    batch_size: int = 4
+    num_epochs: int = 50
+    learning_rate: float = 1e-4
+    end_learning_rate: float = -1.0  # -1 => 0.1 * learning_rate (reference default)
+    variance_focus: float = 0.85
+    weight_decay: float = 1e-2
+    adam_eps: float = 1e-3
+    retrain: bool = False
+    fix_first_conv_blocks: bool = False
+    fix_first_conv_block: bool = False
+    bn_no_track_stats: bool = False
+    # -- checkpoint / logging
+    checkpoint_path: str = ""
+    log_directory: str = ""
+    log_freq: int = 100
+    save_freq: int = 500
+    pretrained_model: str = ""
+    # -- online eval
+    do_online_eval: bool = False
+    data_path_eval: str = ""
+    gt_path_eval: str = ""
+    filenames_file_eval: str = ""
+    min_depth_eval: float = 1e-3
+    max_depth_eval: float = 80.0
+    eigen_crop: bool = False
+    garg_crop: bool = False
+    eval_freq: int = 500
+    eval_summary_directory: str = ""
+    # -- multi-device (reference: --num_gpus / tf.distribute; here: mesh axes)
+    num_devices: int = -1  # -1 => all visible devices on the data axis
+    num_threads: int = 1
+    # -- test / sequence drivers
+    image_path: str = ""
+    out_path: str = ""
+    save_lpg: bool = False
+    save_cmap: bool = False
+    # -- tpu-native knobs (new; no reference counterpart)
+    compute_dtype: str = "bfloat16"  # forward/backward compute dtype
+    use_pallas: str = "auto"  # auto | always | never
+    dataloader_workers: int = 2
+    shuffle_buffer: int = 1024
+
+    @property
+    def end_lr(self) -> float:
+        return self.end_learning_rate if self.end_learning_rate > 0 else 0.1 * self.learning_rate
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _convert_arg_line_to_args(arg_line: str):
+    """Reference-compatible arg-file line splitting (one or more tokens/line).
+
+    The reference overrides ``convert_arg_line_to_args`` so each
+    whitespace-separated token on a line becomes an argument (SURVEY.md §5
+    "Config / flag system").
+    """
+    for arg in arg_line.split():
+        if not arg.strip():
+            continue
+        if arg.startswith("#"):
+            break
+        yield arg
+
+
+def build_parser(mode: Optional[str] = None) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="BTS-TPU: TPU-native BTS (arXiv:1907.10326)",
+        fromfile_prefix_chars="@",
+    )
+    parser.convert_arg_line_to_args = _convert_arg_line_to_args
+
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        flag = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            parser.add_argument(flag, action="store_true", default=default)
+        else:
+            # dataclass field types arrive as strings under PEP 563
+            typ = {int: int, float: float, str: str}[type(default)]
+            parser.add_argument(flag, type=typ, default=default)
+    if mode is not None:
+        parser.set_defaults(mode=mode)
+    return parser
+
+
+def parse_args(argv: Optional[List[str]] = None, mode: Optional[str] = None) -> Config:
+    """Parse CLI args into a Config.
+
+    Accepts both ``prog @arguments_train_nyu.txt`` and the upstream style
+    ``prog arguments_train_nyu.txt`` (bare arg-file as sole positional).
+    """
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) == 1 and not argv[0].startswith("-") and not argv[0].startswith("@"):
+        argv = ["@" + argv[0]]
+    parser = build_parser(mode)
+    ns = parser.parse_args(argv)
+    cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
+    # Reference behavior: NYU defaults differ (max_depth_eval 10, eigen crop).
+    return cfg

@@ -1,0 +1,150 @@
+"""Decoder building blocks (flax.linen, NHWC, bf16-compute / f32-params).
+
+Reference counterparts (SURVEY.md §2.3/§2.6/§2.7 — ``bts.py`` custom Keras
+layers ``upconv``, ``atrous_conv``, ``reduction_1x1``): re-expressed as linen
+modules with TF-style SAME padding so XLA tiles the convs onto the MXU.
+
+Conventions:
+- every module takes ``dtype`` (compute) and keeps params in f32;
+- BatchNorm uses eps 1.1e-5 / momentum .99 (the reference lineage's
+  torch-momentum 0.01) and runs in f32 (BN statistics in bf16 drift);
+- activations: ELU inside the decoder, ReLU inside the daspp cells,
+  matching the reference lineage.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bts_tpu.ops.resize import upsample_nearest_2x
+
+Dtype = Any
+
+
+class ConvBlock(nn.Module):
+    """3x3 (or kxk) SAME conv + ELU, the decoder's basic fusion block."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: Optional[Callable] = nn.elu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return self.act(x) if self.act is not None else x
+
+
+class BatchNorm(nn.Module):
+    """f32 BatchNorm with reference-lineage hyperparams."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        orig_dtype = x.dtype
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1.1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+class UpConv(nn.Module):
+    """Nearest x2 upsample -> 3x3 SAME conv -> ELU (reference ``upconv``)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest_2x(x)
+        return ConvBlock(self.features, dtype=self.dtype)(x)
+
+
+class AtrousConv(nn.Module):
+    """Dense-ASPP cell (reference ``atrous_conv``):
+
+        [BN] -> ReLU -> 1x1 conv (2*out) -> BN -> ReLU -> 3x3 dilated conv.
+
+    ``apply_bn_first`` is False only for the first (rate-3) cell, matching
+    the reference's dense ASPP wiring (SURVEY.md §2.6).
+    """
+
+    features: int
+    dilation: int
+    apply_bn_first: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.apply_bn_first:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.features * 2,
+            (1, 1),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            padding="SAME",
+            kernel_dilation=(self.dilation, self.dilation),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return x
+
+
+class Reduction1x1(nn.Module):
+    """Plane-coefficient head (reference ``reduction_1x1``, SURVEY.md §2.7).
+
+    A stack of 1x1 convs halving ``num_filters`` down to 4, then either:
+    - ``is_final``: 1 channel + sigmoid (direct scaled depth), or
+    - 3 channels interpreted as spherical plane params
+      (theta<=pi/3, phi<=2pi, dist<=max_depth) -> unit normal (n1,n2,n3)
+      and distance n4. The spherical transform itself lives in
+      bts_tpu.ops.lpg.plane_from_spherical so the Pallas kernel can fuse it.
+
+    Returns raw head output; the caller applies the transform (this keeps the
+    head a pure matmul chain the MXU loves, and lets the fused Pallas LPG
+    consume the raw 3-channel tensor directly).
+    """
+
+    num_filters: int
+    is_final: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nf = self.num_filters
+        while nf >= 4:
+            if nf < 8:
+                out_ch = 1 if self.is_final else 3
+                x = nn.Conv(
+                    out_ch, (1, 1), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32
+                )(x)
+                break
+            x = nn.Conv(nf, (1, 1), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.elu(x)
+            nf = nf // 2
+        return x

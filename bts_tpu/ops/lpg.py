@@ -1,0 +1,96 @@
+"""Local Planar Guidance (LPG) — the BTS hot op, TPU-native.
+
+Math contract (SURVEY.md §2.8, BTS paper eq. 5): for scale k in {2,4,8},
+given per-cell plane coefficients (n1,n2,n3,n4) on the (H/k, W/k) grid, the
+full-resolution depth at the pixel with in-patch coordinates (u, v) is
+
+    depth(u, v) = n4 / (n1*u + n2*v + n3)
+
+where u, v are patch-centered: u = (i - (k-1)/2) / k for in-patch index
+i in [0, k).  (n1,n2,n3) is a unit normal, n4 the plane-to-origin distance.
+
+The upstream cleinc/bts ships this as a compiled CUDA TF op
+(``custom_layer/local_planar_guidance.cu``); the bts-fully-tf fork re-expresses
+it as tile/reshape TF ops (its "fully TF" headline, SURVEY.md §2.9).  Here:
+
+- :func:`lpg_reference` — straight-line jnp broadcast version (XLA fuses it
+  into neighboring elementwise work; also the unit-test oracle).
+- :mod:`bts_tpu.ops.lpg_pallas` — fused Pallas TPU kernel (fwd + custom VJP)
+  that also folds in the spherical-parameter transform of the
+  ``reduction_1x1`` head so plane tensors never round-trip HBM.
+- :func:`local_planar_guidance` — dispatcher (config ``use_pallas``).
+
+The division is always computed in f32: with bf16 plane params the
+denominator n1*u + n2*v + n3 loses ~2 decimal digits, which is visible in the
+final depth map (parity target abs_rel <= 1e-3, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _patch_coords(k: int, dtype=jnp.float32):
+    """Patch-centered offsets (i - (k-1)/2)/k for i in [0, k)."""
+    i = jnp.arange(k, dtype=dtype)
+    return (i - (k - 1) * 0.5) / k
+
+
+def lpg_reference(plane_eq: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Naive jnp LPG. plane_eq: (B, h, w, 4) NHWC -> depth (B, h*k, w*k).
+
+    Unit-test oracle and fallback path for ``use_pallas='never'``.
+    """
+    b, h, w, c = plane_eq.shape
+    assert c == 4, f"plane_eq last dim must be 4, got {c}"
+    pe = plane_eq.astype(jnp.float32)
+    n1 = pe[..., 0][:, :, None, :, None]  # (B, h, 1, w, 1)
+    n2 = pe[..., 1][:, :, None, :, None]
+    n3 = pe[..., 2][:, :, None, :, None]
+    n4 = pe[..., 3][:, :, None, :, None]
+    u = _patch_coords(k)[None, None, None, None, :]  # column offset
+    v = _patch_coords(k)[None, None, :, None, None]  # row offset
+    depth = n4 / (n1 * u + n2 * v + n3)
+    return depth.reshape(b, h * k, w * k)
+
+
+def plane_from_spherical(raw3: jnp.ndarray, max_depth: float) -> jnp.ndarray:
+    """reduction_1x1 head transform (SURVEY.md §2.7): 3 raw channels ->
+    (n1,n2,n3,n4) unit-normal plane via spherical parameterization:
+
+        theta = sigmoid(x0) * pi / 3        (polar angle, <= 60 deg)
+        phi   = sigmoid(x1) * pi * 2        (azimuth)
+        dist  = sigmoid(x2) * max_depth     (plane distance n4)
+        n1, n2, n3 = sin t cos p, sin t sin p, cos t
+    """
+    x = raw3.astype(jnp.float32)
+    theta = jax_sigmoid(x[..., 0]) * (jnp.pi / 3)
+    phi = jax_sigmoid(x[..., 1]) * (jnp.pi * 2)
+    dist = jax_sigmoid(x[..., 2]) * max_depth
+    n1 = jnp.sin(theta) * jnp.cos(phi)
+    n2 = jnp.sin(theta) * jnp.sin(phi)
+    n3 = jnp.cos(theta)
+    return jnp.stack([n1, n2, n3, dist], axis=-1)
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def local_planar_guidance(plane_eq: jnp.ndarray, k: int, use_pallas: str = "auto") -> jnp.ndarray:
+    """Dispatch LPG to the Pallas kernel or the jnp fallback.
+
+    ``use_pallas``: 'always' | 'never' | 'auto' (auto = pallas on TPU
+    backends, jnp elsewhere).
+    """
+    if use_pallas == "never":
+        return lpg_reference(plane_eq, k)
+    try:
+        from bts_tpu.ops import lpg_pallas
+
+        if use_pallas == "always" or lpg_pallas.pallas_available():
+            return lpg_pallas.lpg(plane_eq, k)
+    except Exception:
+        if use_pallas == "always":
+            raise
+    return lpg_reference(plane_eq, k)
