@@ -1,0 +1,75 @@
+"""Metric-evaluation driver (reference ``bts_eval.py``, SURVEY.md §2.13/§3.3).
+
+Loads GT depth PNGs (via the split file + ``--gt_path``) and predicted PNGs
+(``--pred_path`` / ``--image_path`` pointing at bts_test.py's ``raw`` output),
+clamps to [min_depth_eval, max_depth_eval], applies garg (KITTI default) or
+eigen (NYU) crops, and prints the mean 9-metric table over the split.
+
+Pure numpy — no device needed (matches the reference).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from bts_tpu.config import parse_args
+from bts_tpu.data.crops import eigen_crop_mask, garg_crop_mask, kb_crop_box
+from bts_tpu.data.dataloader import parse_filenames_file
+from bts_tpu.data.depth_io import read_depth_png
+from bts_tpu.evaluation.metrics import METRIC_NAMES, compute_errors
+
+
+def evaluate(cfg) -> np.ndarray:
+    samples = parse_filenames_file(cfg.filenames_file, cfg.data_path, cfg.gt_path)
+    pred_dir = cfg.image_path or cfg.out_path  # dir of predicted PNGs
+    accum, missing = [], 0
+    for s in samples:
+        if s.depth_path is None:
+            continue
+        name = os.path.splitext(os.path.basename(s.image_path))[0] + ".png"
+        pred_file = os.path.join(pred_dir, name)
+        if not os.path.exists(pred_file):
+            missing += 1
+            continue
+        gt = read_depth_png(s.depth_path, cfg.dataset)
+        pred = read_depth_png(pred_file, cfg.dataset)
+        if cfg.do_kb_crop and gt.shape != pred.shape:
+            # reference maps the 352x1216 prediction back onto full-res GT
+            top, left, h, w = kb_crop_box(gt.shape[0], gt.shape[1])
+            full = np.zeros_like(gt)
+            full[top : top + h, left : left + w] = pred
+            pred = full
+        pred = np.clip(pred, cfg.min_depth_eval, cfg.max_depth_eval)
+        valid = (gt > cfg.min_depth_eval) & (gt < cfg.max_depth_eval)
+        hh, ww = gt.shape
+        if cfg.garg_crop:
+            valid &= garg_crop_mask(hh, ww)
+        elif cfg.eigen_crop:
+            valid &= eigen_crop_mask(hh, ww, cfg.dataset)
+        if valid.sum() == 0:
+            continue
+        accum.append(compute_errors(gt[valid], pred[valid]))
+    if missing:
+        print(f"[bts_tpu] WARNING: {missing} predictions missing from {pred_dir}")
+    if not accum:
+        raise SystemExit("no valid samples evaluated")
+    return np.mean(np.stack(accum), axis=0)
+
+
+def print_table(results: np.ndarray) -> None:
+    print(("{:>9}" * len(METRIC_NAMES)).format(*METRIC_NAMES))
+    print(("{:9.4f}" * len(results)).format(*results))
+
+
+def main(argv=None):
+    cfg = parse_args(argv, mode="eval")
+    results = evaluate(cfg)
+    print_table(results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

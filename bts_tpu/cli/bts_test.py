@@ -1,0 +1,89 @@
+"""Batch-inference driver (reference ``bts_test.py``, SURVEY.md §2.2/§3.2).
+
+Restores a checkpoint, forwards the test split, writes uint16 depth PNGs
+(KITTI x256 / NYU x1000) into ``--out_path`` (default
+``result_<model_name>``), plus optional colormapped previews
+(``--save_cmap``) and per-scale LPG outputs (``--save_lpg``), mirroring the
+reference's raw/cmap/lpg output tree.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from bts_tpu.config import parse_args
+from bts_tpu.data.augment import eval_preprocess
+from bts_tpu.data.dataloader import BtsDataLoader
+from bts_tpu.data.depth_io import write_depth_png
+from bts_tpu.models import create_model
+from bts_tpu.training.optimizer import make_optimizer
+from bts_tpu.training.trainer import TrainState
+from bts_tpu.utils.checkpoint import CheckpointManager
+
+
+def save_cmap_png(path: str, depth: np.ndarray, max_depth: float) -> None:
+    """8-bit grayscale preview (the reference uses a matplotlib cmap; a
+    colormap-free normalized preview keeps matplotlib off the hot path)."""
+    img = np.clip(depth / max_depth * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(img).save(path)
+
+
+def restore_state(cfg, model, sample_image):
+    variables = model.init(jax.random.PRNGKey(0), sample_image, False)
+    tx = make_optimizer(cfg, 1)
+    state = TrainState.create(variables, tx)
+    if cfg.checkpoint_path:
+        mgr = CheckpointManager(cfg.checkpoint_path)
+        state = mgr.restore(state)
+        print(f"[bts_tpu] restored {cfg.checkpoint_path} @ step {int(state.step)}")
+    else:
+        print("[bts_tpu] WARNING: no --checkpoint_path, using random init")
+    return state
+
+
+def main(argv=None):
+    cfg = parse_args(argv, mode="test")
+    model = create_model(cfg)
+    loader = BtsDataLoader(cfg, "test")
+    out_dir = cfg.out_path or f"result_{cfg.model_name}"
+    os.makedirs(os.path.join(out_dir, "raw"), exist_ok=True)
+    if cfg.save_cmap:
+        os.makedirs(os.path.join(out_dir, "cmap"), exist_ok=True)
+    if cfg.save_lpg:
+        for k in ("8x8", "4x4", "2x2"):
+            os.makedirs(os.path.join(out_dir, f"lpg_{k}"), exist_ok=True)
+
+    @jax.jit
+    def forward(params, batch_stats, images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, eval_preprocess(images), False)
+
+    state = None
+    for i, batch in enumerate(loader.prefetched(num_epochs=1)):
+        images = jnp.asarray(batch["image"])
+        if state is None:
+            state = restore_state(cfg, model, eval_preprocess(images))
+        d8, d4, d2, d1, final = forward(state.params, state.batch_stats, images)
+        pred = np.asarray(final)[0, :, :, 0]
+        name = os.path.splitext(os.path.basename(loader.samples[i].image_path))[0]
+        write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
+        if cfg.save_cmap:
+            save_cmap_png(os.path.join(out_dir, "cmap", name + ".png"), pred, cfg.max_depth)
+        if cfg.save_lpg:
+            for k, d in (("8x8", d8), ("4x4", d4), ("2x2", d2)):
+                lpg = np.asarray(d)[0, :, :, 0] * cfg.max_depth
+                write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
+        if (i + 1) % 50 == 0:
+            print(f"[bts_tpu] {i + 1}/{len(loader)}", flush=True)
+    print(f"[bts_tpu] wrote {len(loader)} predictions to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,173 @@
+"""On-device fused training augmentations (jit + vmap, PRNG-key determinism).
+
+Reference pipeline (SURVEY.md §2.10, ``bts_dataloader.py``):
+    [KB-crop / NYU border crop (host, static geometry)]
+    -> random rotate  (+-degree; image bilinear, depth nearest)
+    -> random crop    (to input_height x input_width)
+    -> random L-R flip
+    -> random gamma [0.9,1.1], brightness [0.9,1.1] (NYU [0.75,1.25]),
+       per-channel color [0.9,1.1]
+    -> ImageNet mean/std normalize
+
+TPU-first redesign (BASELINE.json north-star: "input pipeline fuses
+on-device into the forward pass"): everything after decode runs as one jit
+program on device, batched via vmap with per-sample PRNG keys split from the
+step key — deterministic, reproducible, and fused by XLA into a single
+kernel launch before the forward pass.  The host only decodes PNGs and
+applies the fixed-geometry crops (dynamic full-res shapes would retrigger
+XLA compilation).
+
+The reference applies rotation with dynamic per-sample angles; here rotation
+is a dense gather (map_coordinates) with static shapes, so XLA compiles it
+once for all angles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def normalize_image(img):
+    """[0,1] RGB -> ImageNet-normalized (reference's final preprocess step)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _rotate_coords(h: int, w: int, angle_rad):
+    """Source sampling coordinates for a rotation about the image center."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    src_y = cos * yy - sin * xx + cy
+    src_x = sin * yy + cos * xx + cx
+    return src_y, src_x
+
+
+def rotate_image(img, angle_rad, order: int = 1):
+    """Rotate HWC (or HW) array about its center; order 1=bilinear, 0=nearest.
+
+    Matches the reference's rotate (image bilinear / depth nearest).  Uses
+    map_coordinates gathers with static shapes (one XLA program for any
+    angle).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    src_y, src_x = _rotate_coords(h, w, angle_rad)
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, [src_y, src_x], order=order, mode="nearest")
+
+    out = jax.vmap(sample_channel, in_axes=2, out_axes=2)(img)
+    return out[..., 0] if squeeze else out
+
+
+def random_rotate(img, depth, key, degree: float):
+    """Per-sample rotation, angle ~ U(-degree, +degree) degrees."""
+    angle = jax.random.uniform(key, (), minval=-degree, maxval=degree) * (jnp.pi / 180.0)
+    return rotate_image(img, angle, order=1), rotate_image(depth, angle, order=0)
+
+
+def random_crop(img, depth, key, out_h: int, out_w: int):
+    """Random crop to (out_h, out_w); same offsets for image and depth."""
+    h, w = img.shape[0], img.shape[1]
+    ky, kx = jax.random.split(key)
+    top = jax.random.randint(ky, (), 0, h - out_h + 1)
+    left = jax.random.randint(kx, (), 0, w - out_w + 1)
+    img_c = jax.lax.dynamic_slice(img, (top, left, 0), (out_h, out_w, img.shape[2]))
+    depth_c = jax.lax.dynamic_slice(depth, (top, left), (out_h, out_w))
+    return img_c, depth_c
+
+
+def random_flip(img, depth, key):
+    """p=0.5 left-right flip of both image and depth."""
+    do = jax.random.bernoulli(key)
+    return (
+        jnp.where(do, img[:, ::-1, :], img),
+        jnp.where(do, depth[:, ::-1], depth),
+    )
+
+
+def random_color(img, key, dataset: str = "kitti"):
+    """Gamma / brightness / per-channel color jitter on a [0,1] image."""
+    kg, kb, kc = jax.random.split(key, 3)
+    gamma = jax.random.uniform(kg, (), minval=0.9, maxval=1.1)
+    bmin, bmax = (0.75, 1.25) if dataset == "nyu" else (0.9, 1.1)
+    brightness = jax.random.uniform(kb, (), minval=bmin, maxval=bmax)
+    colors = jax.random.uniform(kc, (3,), minval=0.9, maxval=1.1)
+    img = jnp.clip(img, 0.0, 1.0) ** gamma
+    img = img * brightness * colors[None, None, :]
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def augment_sample(
+    img,
+    depth,
+    key,
+    *,
+    out_h: int,
+    out_w: int,
+    dataset: str,
+    degree: float,
+    do_random_rotate: bool,
+):
+    """The reference's full per-sample train-time augmentation chain."""
+    k_rot, k_crop, k_flip, k_color = jax.random.split(key, 4)
+    if do_random_rotate:
+        img, depth = random_rotate(img, depth, k_rot, degree)
+    img, depth = random_crop(img, depth, k_crop, out_h, out_w)
+    img, depth = random_flip(img, depth, k_flip)
+    img = random_color(img, k_color, dataset)
+    img = normalize_image(img)
+    return img, depth
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "dataset", "degree", "do_random_rotate"),
+)
+def augment_batch(
+    images,
+    depths,
+    key,
+    *,
+    out_h: int,
+    out_w: int,
+    dataset: str = "kitti",
+    degree: float = 1.0,
+    do_random_rotate: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched on-device augmentation: (B,H,W,3) u8/[0,1] + (B,H,W) depth.
+
+    Per-sample keys are split from the step key -> bitwise-reproducible for a
+    given (seed, step).  uint8 images are converted to [0,1] on device (u8
+    host->device transfer is 4x cheaper than f32).
+    """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    keys = jax.random.split(key, images.shape[0])
+    fn = partial(
+        augment_sample,
+        out_h=out_h,
+        out_w=out_w,
+        dataset=dataset,
+        degree=degree,
+        do_random_rotate=do_random_rotate,
+    )
+    return jax.vmap(fn)(images, depths, keys)
+
+
+@partial(jax.jit, static_argnames=())
+def eval_preprocess(images):
+    """Test/eval-time preprocessing: [0,1] + ImageNet normalize, on device."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    return normalize_image(images)

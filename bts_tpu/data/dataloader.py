@@ -1,0 +1,195 @@
+"""Host-side data loading: filenames files -> decoded, geometry-fixed batches.
+
+Reference counterpart: ``bts_dataloader.py`` (SURVEY.md §2.10).  The
+reference builds a tf.data pipeline; here the host side is deliberately
+thin — decode + fixed-geometry crops only — because the stochastic
+augmentations run fused on device (bts_tpu.data.augment).  Split files use
+the reference format: one sample per line,
+
+    <image_path> <depth_path> [<focal>]
+
+paths relative to ``data_path`` / ``gt_path`` (absolute paths also work).
+A missing depth is spelled ``None`` in test-mode files (reference
+convention for split lines without gt).
+
+Modes mirror the reference: 'train' (shuffle, repeat, augment-ready
+uint8 batches), 'online_eval' (no shuffle, full-res eval geometry),
+'test' (images only).
+
+The loader double-buffers batches with a background thread so PNG decode
+overlaps device compute (the host has few cores; decode is the bottleneck
+the reference hides behind tf.data prefetch).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from bts_tpu.data.crops import kb_crop, nyu_border_crop
+from bts_tpu.data.depth_io import depth_from_png
+
+
+@dataclass
+class Sample:
+    image_path: str
+    depth_path: Optional[str]
+    focal: float
+
+
+def parse_filenames_file(path: str, data_path: str = "", gt_path: str = "", use_right: bool = False) -> List[Sample]:
+    """Parse a reference-format split file into Samples.
+
+    KITTI eigen lines look like
+    ``2011_.../image_02/data/0000000069.png 2011_.../proj_depth/groundtruth/image_02/0000000069.png 721.5377``;
+    ``use_right`` swaps image_02 -> image_03 (right camera) as the reference's
+    ``--use_right`` does (at parse time; the reference samples it randomly,
+    we expose both deterministic variants).
+    """
+    samples = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            img = parts[0]
+            depth = parts[1] if len(parts) > 1 and parts[1] != "None" else None
+            focal = float(parts[2]) if len(parts) > 2 else 0.0
+            if use_right:
+                img = img.replace("image_02", "image_03")
+                if depth:
+                    depth = depth.replace("image_02", "image_03")
+            samples.append(
+                Sample(
+                    image_path=os.path.join(data_path, img) if data_path else img,
+                    depth_path=(os.path.join(gt_path, depth) if gt_path else depth) if depth else None,
+                    focal=focal,
+                )
+            )
+    return samples
+
+
+def load_sample(
+    sample: Sample,
+    dataset: str,
+    do_kb_crop: bool,
+    need_depth: bool = True,
+    border_crop: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
+    """Decode one sample and apply the fixed-geometry crops.
+
+    ``border_crop`` (NYU) is TRAIN-ONLY in the reference: test/eval forward
+    the full 480x640 frame (divisible by 32 for the encoder pyramid) and the
+    eigen crop is applied as a *metric mask*, never as an input crop.
+
+    Returns (uint8 HWC image, float32 HW depth-in-meters or None, focal).
+    """
+    image = np.asarray(Image.open(sample.image_path).convert("RGB"), dtype=np.uint8)
+    depth = None
+    if need_depth and sample.depth_path is not None:
+        depth = depth_from_png(np.array(Image.open(sample.depth_path)), dataset)
+    if dataset == "nyu":
+        if border_crop:
+            image = nyu_border_crop(image)
+            if depth is not None:
+                depth = nyu_border_crop(depth)
+    elif do_kb_crop:
+        image = kb_crop(image)
+        if depth is not None:
+            depth = kb_crop(depth)
+    return image, depth, sample.focal
+
+
+class BtsDataLoader:
+    """Batch iterator over a split file (reference ``BtsDataloader``).
+
+    Yields dict batches of host numpy arrays:
+        image: (B, H, W, 3) uint8
+        depth: (B, H, W) float32 meters  (absent in test mode)
+        focal: (B,) float32
+    Shapes are static per-mode; callers hand batches to
+    ``bts_tpu.data.augment.augment_batch`` (train) or ``eval_preprocess``.
+    """
+
+    def __init__(self, cfg, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        if mode == "online_eval":
+            fn, dp, gp = cfg.filenames_file_eval, cfg.data_path_eval, cfg.gt_path_eval
+        else:
+            fn, dp, gp = cfg.filenames_file, cfg.data_path, cfg.gt_path
+        self.samples = parse_filenames_file(fn, dp, gp, cfg.use_right and mode == "train")
+        self.batch_size = cfg.batch_size if mode == "train" else 1
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self.samples) // self.batch_size)
+
+    def _load(self, sample: Sample):
+        need_depth = self.mode != "test"
+        img, depth, focal = load_sample(
+            sample,
+            self.cfg.dataset,
+            self.cfg.do_kb_crop,
+            need_depth,
+            border_crop=self.mode == "train",
+        )
+        if depth is None and need_depth:
+            depth = np.zeros(img.shape[:2], np.float32)
+        return img, depth, focal
+
+    def _epoch_order(self) -> List[int]:
+        idx = np.arange(len(self.samples))
+        if self.mode == "train":
+            self.rng.shuffle(idx)
+        return list(idx)
+
+    def batches(self, num_epochs: Optional[int] = None) -> Iterator[dict]:
+        """Yield batches; infinite when num_epochs is None and mode=='train'."""
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            order = self._epoch_order()
+            # drop remainder in train mode (static batch shape for jit)
+            usable = len(order) - (len(order) % self.batch_size) if self.mode == "train" else len(order)
+            for start in range(0, usable, self.batch_size):
+                chunk = order[start : start + self.batch_size]
+                loaded = [self._load(self.samples[i]) for i in chunk]
+                batch = {
+                    "image": np.stack([x[0] for x in loaded]),
+                    "focal": np.array([x[2] for x in loaded], np.float32),
+                }
+                if self.mode != "test":
+                    batch["depth"] = np.stack([x[1] for x in loaded])
+                yield batch
+            epoch += 1
+            if self.mode != "train":
+                break
+
+    def prefetched(self, num_epochs: Optional[int] = None, depth: int = 2) -> Iterator[dict]:
+        """Background-thread prefetch so decode overlaps device compute."""
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self.batches(num_epochs):
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

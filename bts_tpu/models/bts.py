@@ -1,0 +1,185 @@
+"""The BTS model: encoder + dense-ASPP decoder + multi-scale LPG heads.
+
+Reference parity: ``bts.py :: BtsModel`` (SURVEY.md §2.3, §3.4 — the shape
+contract).  Forward:
+
+    image (B, H, W, 3)  [NHWC, ImageNet-normalized]
+    encoder -> skips h2, h4, h8, h16 and bottleneck h32
+    dense_features = ReLU(h32)
+    upconv5 -> H/16, BN, cat skip16, conv5
+    upconv4 -> H/8,  BN, cat skip8,  conv4, BN
+    dense ASPP at H/8: rates 3,6,12,18,24, densely concatenated
+    reduc8x8 -> plane -> LPG 8x8 -> depth8 (B,H,W), /max_depth
+    upconv3 -> H/4, BN, cat [skip4, depth8 ds x1/4], conv3
+    reduc4x4 -> LPG 4x4 -> depth4, /max_depth
+    upconv2 -> H/2, BN, cat [skip2, depth4 ds x1/2], conv2
+    reduc2x2 -> LPG 2x2 -> depth2, /max_depth
+    upconv1 -> H, reduc1x1 (sigmoid direct depth),
+    cat [upconv1, depth1x1, depth2, depth4, depth8], conv1
+    final_depth = max_depth * sigmoid(conv3x3 -> 1ch)
+
+Returns (depth_8x8_scaled, depth_4x4_scaled, depth_2x2_scaled, depth_1x1,
+final_depth), all (B, H, W, 1) — the same 4 aux outputs + final the
+reference exposes for its TensorBoard LPG visualizations and bts_test.py
+``--save_lpg`` flag.
+
+KITTI focal scaling: the reference multiplies the final depth by
+focal/715.0873 when training KITTI with mixed focal lengths; we expose the
+same hook via the ``focal`` argument.
+
+TPU design notes:
+- the whole forward is a static-shape NHWC conv pipeline -> XLA tiles every
+  conv onto the MXU; concats fuse into consumers;
+- LPG heads run through bts_tpu.ops.lpg (Pallas-fused on TPU, f32 division);
+- compute dtype is configurable (bf16 for training); BN and the LPG/plane
+  math stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bts_tpu.models.encoders import build_encoder, encoder_channels
+from bts_tpu.models.layers import AtrousConv, BatchNorm, ConvBlock, Reduction1x1, UpConv
+from bts_tpu.ops.lpg import local_planar_guidance, plane_from_spherical
+from bts_tpu.ops.resize import downsample_nearest
+
+KITTI_FOCAL = 715.0873
+
+
+class BtsDecoder(nn.Module):
+    max_depth: float = 80.0
+    num_features: int = 512
+    dtype: Any = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, focal: Optional[jnp.ndarray] = None):
+        skip2, skip4, skip8, skip16, bottleneck = feats
+        nf = self.num_features
+        dt = self.dtype
+
+        dense_features = nn.relu(bottleneck)
+        upconv5 = UpConv(nf, dtype=dt)(dense_features)  # H/16
+        upconv5 = BatchNorm(dtype=dt)(upconv5, train)
+        concat5 = jnp.concatenate([upconv5, skip16], axis=-1)
+        iconv5 = ConvBlock(nf, dtype=dt)(concat5)
+
+        upconv4 = UpConv(nf // 2, dtype=dt)(iconv5)  # H/8
+        upconv4 = BatchNorm(dtype=dt)(upconv4, train)
+        concat4 = jnp.concatenate([upconv4, skip8], axis=-1)
+        iconv4 = ConvBlock(nf // 2, dtype=dt)(concat4)
+        iconv4 = BatchNorm(dtype=dt)(iconv4, train)
+
+        # dense ASPP (SURVEY.md §2.6): each cell sees the concat of all
+        # previous outputs (dense connectivity), rates 3/6/12/18/24.
+        daspp_3 = AtrousConv(nf // 4, 3, apply_bn_first=False, dtype=dt)(iconv4, train)
+        concat4_2 = jnp.concatenate([concat4, daspp_3], axis=-1)
+        daspp_6 = AtrousConv(nf // 4, 6, dtype=dt)(concat4_2, train)
+        concat4_3 = jnp.concatenate([concat4_2, daspp_6], axis=-1)
+        daspp_12 = AtrousConv(nf // 4, 12, dtype=dt)(concat4_3, train)
+        concat4_4 = jnp.concatenate([concat4_3, daspp_12], axis=-1)
+        daspp_18 = AtrousConv(nf // 4, 18, dtype=dt)(concat4_4, train)
+        concat4_5 = jnp.concatenate([concat4_4, daspp_18], axis=-1)
+        daspp_24 = AtrousConv(nf // 4, 24, dtype=dt)(concat4_5, train)
+        concat4_daspp = jnp.concatenate(
+            [iconv4, daspp_3, daspp_6, daspp_12, daspp_18, daspp_24], axis=-1
+        )
+        daspp_feat = ConvBlock(nf // 4, dtype=dt)(concat4_daspp)
+
+        # LPG head at 1/8
+        reduc8 = Reduction1x1(nf // 4, dtype=dt)(daspp_feat)
+        plane8 = plane_from_spherical(reduc8, self.max_depth)
+        depth_8x8 = local_planar_guidance(plane8, 8, self.use_pallas)  # (B, H, W)
+        depth_8x8_scaled = (depth_8x8 / self.max_depth)[..., None]
+        depth_8x8_ds = downsample_nearest(depth_8x8_scaled, 4).astype(dt)
+
+        upconv3 = UpConv(nf // 4, dtype=dt)(daspp_feat)  # H/4
+        upconv3 = BatchNorm(dtype=dt)(upconv3, train)
+        concat3 = jnp.concatenate([upconv3, skip4, depth_8x8_ds], axis=-1)
+        iconv3 = ConvBlock(nf // 4, dtype=dt)(concat3)
+
+        # LPG head at 1/4
+        reduc4 = Reduction1x1(nf // 8, dtype=dt)(iconv3)
+        plane4 = plane_from_spherical(reduc4, self.max_depth)
+        depth_4x4 = local_planar_guidance(plane4, 4, self.use_pallas)
+        depth_4x4_scaled = (depth_4x4 / self.max_depth)[..., None]
+        depth_4x4_ds = downsample_nearest(depth_4x4_scaled, 2).astype(dt)
+
+        upconv2 = UpConv(nf // 8, dtype=dt)(iconv3)  # H/2
+        upconv2 = BatchNorm(dtype=dt)(upconv2, train)
+        concat2 = jnp.concatenate([upconv2, skip2, depth_4x4_ds], axis=-1)
+        iconv2 = ConvBlock(nf // 8, dtype=dt)(concat2)
+
+        # LPG head at 1/2
+        reduc2 = Reduction1x1(nf // 16, dtype=dt)(iconv2)
+        plane2 = plane_from_spherical(reduc2, self.max_depth)
+        depth_2x2 = local_planar_guidance(plane2, 2, self.use_pallas)
+        depth_2x2_scaled = (depth_2x2 / self.max_depth)[..., None]
+
+        upconv1 = UpConv(nf // 16, dtype=dt)(iconv2)  # H
+        depth_1x1 = Reduction1x1(nf // 32, is_final=True, dtype=dt)(upconv1)
+        depth_1x1 = nn.sigmoid(depth_1x1.astype(jnp.float32))
+        concat1 = jnp.concatenate(
+            [
+                upconv1,
+                depth_1x1.astype(dt),
+                depth_2x2_scaled.astype(dt),
+                depth_4x4_scaled.astype(dt),
+                depth_8x8_scaled.astype(dt),
+            ],
+            axis=-1,
+        )
+        iconv1 = ConvBlock(nf // 16, dtype=dt)(concat1)
+        logits = ConvBlock(1, act=None, dtype=dt)(iconv1)
+        final_depth = self.max_depth * nn.sigmoid(logits.astype(jnp.float32))
+        if focal is not None:
+            final_depth = final_depth * (focal.reshape(-1, 1, 1, 1) / KITTI_FOCAL)
+        return (
+            depth_8x8_scaled.astype(jnp.float32),
+            depth_4x4_scaled.astype(jnp.float32),
+            depth_2x2_scaled.astype(jnp.float32),
+            depth_1x1,
+            final_depth,
+        )
+
+
+class BtsModel(nn.Module):
+    """Full BTS network: encoder + decoder (reference ``bts.py`` top level)."""
+
+    encoder_name: str = "densenet161_bts"
+    max_depth: float = 80.0
+    num_features: int = 512
+    dtype: Any = jnp.float32
+    use_pallas: str = "auto"
+
+    @nn.compact
+    def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
+        feats = build_encoder(self.encoder_name, dtype=self.dtype)(
+            image.astype(self.dtype), train
+        )
+        return BtsDecoder(
+            max_depth=self.max_depth,
+            num_features=self.num_features,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )(feats, train, focal)
+
+
+def create_model(cfg) -> BtsModel:
+    """Build a BtsModel from a Config (bts_tpu.config.Config)."""
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+    return BtsModel(
+        encoder_name=cfg.encoder,
+        max_depth=cfg.max_depth,
+        num_features=cfg.bts_size,
+        dtype=dtype,
+        use_pallas=cfg.use_pallas,
+    )
+
+
+def expected_encoder_channels(name: str):
+    return encoder_channels(name)

@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers (the tf.distribute replacement).
+
+Reference counterpart: SURVEY.md §2.11 — the reference's only parallelism is
+data-parallel via ``tf.distribute`` MirroredStrategy (GPU/NCCL) or
+TPUStrategy (ICI cross-replica-sum).  TPU-native redesign: a 1-D
+``jax.sharding.Mesh`` over the ``data`` axis; the train step is ``jax.jit``
+with NamedShardings (params replicated, batch sharded), so XLA emits the
+gradient ``psum`` over ICI itself — there is no hand-written communication
+layer to maintain.
+
+The mesh is built hierarchically when multiple slices are visible
+(``jax.devices()`` spanning hosts): JAX orders devices so that the data axis
+rides ICI within a slice and DCN across, which is exactly the layout the
+scaling playbook prescribes for pure DP.
+
+A second, currently-size-1 ``model`` axis is threaded through so wider
+parallelism (spatial/tensor sharding of the conv pyramid) can be enabled
+without changing call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: int = -1, model_axis: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D (data) or 2-D (data, model) mesh over the visible devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices > 0:
+        devs = devs[:num_devices]
+    n = len(devs)
+    assert n % model_axis == 0, f"{n} devices not divisible by model axis {model_axis}"
+    arr = np.asarray(devs).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch with its leading axis sharded over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

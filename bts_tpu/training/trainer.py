@@ -1,0 +1,194 @@
+"""Data-parallel training step + loop (reference ``bts_main.py`` train path).
+
+Reference call stack (SURVEY.md §3.1): strategy.run(train_step) with forward
+-> silog -> gradient all-reduce -> Adam.  TPU-native redesign:
+
+- ONE jitted program per step containing the fused on-device augmentation
+  (bts_tpu.data.augment), forward, silog loss, backward and optimizer update
+  — XLA schedules the whole thing; the gradient all-reduce over the ``data``
+  mesh axis is emitted automatically because params carry a replicated
+  sharding while the batch is sharded (no tf.distribute / NCCL plumbing).
+- params/opt-state are f32 masters; the forward runs in the model's compute
+  dtype (bf16 on TPU); loss and LPG math stay f32.
+- PRNG: one key per step derived from (seed, step) => bitwise reproducible
+  augmentation regardless of host timing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from bts_tpu.data.augment import augment_batch, eval_preprocess, normalize_image
+from bts_tpu.ops.silog import default_mask, silog_loss
+from bts_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation) -> "TrainState":
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+        )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh=None,
+    augment: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, batch, key) -> (state, metrics).
+
+    batch: {'image': (B,H,W,3) uint8, 'depth': (B,H,W) f32, 'focal': (B,)}
+    with H,W = post-augmentation input_height/width when augment=False, else
+    the pre-crop geometry (KB-cropped KITTI / border-cropped NYU).
+    """
+    use_focal = cfg.dataset == "kitti" and cfg.use_right  # focal-scale hook
+
+    def loss_fn(params, batch_stats, images, depths, focal, key):
+        if augment:
+            images, depths = augment_batch(
+                images,
+                depths,
+                key,
+                out_h=cfg.input_height,
+                out_w=cfg.input_width,
+                dataset=cfg.dataset,
+                degree=cfg.degree,
+                do_random_rotate=cfg.do_random_rotate,
+            )
+        else:
+            images = eval_preprocess(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        (d8, d4, d2, d1, final), mutated = model.apply(
+            variables,
+            images,
+            True,
+            focal=focal if use_focal else None,
+            mutable=["batch_stats"],
+        )
+        mask = default_mask(depths, cfg.dataset)
+        loss = silog_loss(final[..., 0], depths, mask, cfg.variance_focus)
+        return loss, (mutated["batch_stats"], final)
+
+    def train_step(state: TrainState, batch: dict, key) -> Tuple[TrainState, dict]:
+        step_key = jax.random.fold_in(key, state.step)
+        (loss, (new_bs, final)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params,
+            state.batch_stats,
+            batch["image"],
+            batch["depth"],
+            batch["focal"],
+            step_key,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        metrics = {
+            "loss": loss,
+            "depth_mean": final.mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(model, cfg, mesh=None) -> Callable:
+    """Jitted full-res forward for online eval / test drivers."""
+
+    def eval_step(params, batch_stats, images):
+        images = eval_preprocess(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        *_, final = model.apply(variables, images, False)
+        return final[..., 0]
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, repl, data), out_shardings=data)
+
+
+class Trainer:
+    """Thin orchestration: init, step loop, periodic log/save/eval hooks.
+
+    The reference's ``main()`` loop (SURVEY.md §2.1) with tf.summary/
+    checkpoint replaced by callbacks the CLI driver wires to tensorboard +
+    orbax (bts_tpu.utils).
+    """
+
+    def __init__(self, model, cfg, total_steps: int, mesh=None, augment: bool = True):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.total_steps = total_steps
+        from bts_tpu.training.optimizer import make_optimizer
+
+        self.tx = make_optimizer(cfg, total_steps)
+        self.train_step = make_train_step(model, self.tx, cfg, mesh, augment)
+        self.base_key = jax.random.PRNGKey(0)
+
+    def init_state(self, sample_batch, seed: int = 0) -> TrainState:
+        images = jnp.asarray(sample_batch["image"], jnp.float32)[
+            :, : self.cfg.input_height, : self.cfg.input_width
+        ]
+        images = normalize_image(images / 255.0)
+        variables = self.model.init(jax.random.PRNGKey(seed), images, True)
+        state = TrainState.create(variables, self.tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    def run(
+        self,
+        state: TrainState,
+        batches,
+        num_steps: int,
+        on_metrics: Optional[Callable] = None,
+        on_save: Optional[Callable] = None,
+    ) -> TrainState:
+        from bts_tpu.parallel.mesh import shard_batch
+
+        for i, batch in enumerate(batches):
+            if i >= num_steps:
+                break
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            state, metrics = self.train_step(state, batch, self.base_key)
+            step = int(state.step)
+            if on_metrics is not None and (step % self.cfg.log_freq == 0 or i == 0):
+                on_metrics(step, jax.device_get(metrics))
+            if on_save is not None and step % self.cfg.save_freq == 0:
+                on_save(step, state)
+        return state

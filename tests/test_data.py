@@ -1,0 +1,112 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from bts_tpu.config import Config
+from bts_tpu.data.augment import (
+    augment_batch,
+    eval_preprocess,
+    normalize_image,
+    random_crop,
+    random_flip,
+    rotate_image,
+)
+from bts_tpu.data.dataloader import BtsDataLoader, parse_filenames_file
+from bts_tpu.data.depth_io import depth_to_png
+
+
+def make_fake_dataset(root, n=6, h=96, w=128, dataset="kitti"):
+    """Fabricate a reference-format split: PNG images + uint16 depth PNGs."""
+    rng = np.random.default_rng(42)
+    os.makedirs(os.path.join(root, "img"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gt"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        depth = rng.uniform(0.5, 60.0, size=(h, w)).astype(np.float32)
+        Image.fromarray(img).save(os.path.join(root, "img", f"{i}.png"))
+        Image.fromarray(depth_to_png(depth, dataset)).save(os.path.join(root, "gt", f"{i}.png"))
+        lines.append(f"img/{i}.png gt/{i}.png 721.5377\n")
+    split = os.path.join(root, "split.txt")
+    with open(split, "w") as f:
+        f.writelines(lines)
+    return split
+
+
+def test_parse_filenames(tmp_path):
+    split = make_fake_dataset(str(tmp_path), n=3)
+    samples = parse_filenames_file(split, str(tmp_path), str(tmp_path))
+    assert len(samples) == 3
+    assert samples[0].focal == 721.5377
+    assert os.path.exists(samples[0].image_path)
+    # None depth handling
+    with open(split, "a") as f:
+        f.write("img/0.png None\n")
+    samples = parse_filenames_file(split, str(tmp_path), str(tmp_path))
+    assert samples[-1].depth_path is None
+
+
+def test_dataloader_train_batches(tmp_path):
+    split = make_fake_dataset(str(tmp_path), n=6)
+    cfg = Config(
+        dataset="kitti",
+        data_path=str(tmp_path),
+        gt_path=str(tmp_path),
+        filenames_file=split,
+        batch_size=2,
+        do_kb_crop=False,
+    )
+    loader = BtsDataLoader(cfg, "train")
+    batches = list(loader.batches(num_epochs=1))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["image"].shape == (2, 96, 128, 3) and b["image"].dtype == np.uint8
+    assert b["depth"].shape == (2, 96, 128) and b["depth"].dtype == np.float32
+    assert b["focal"].shape == (2,)
+    # prefetched path yields the same count
+    loader2 = BtsDataLoader(cfg, "train")
+    assert len(list(loader2.prefetched(num_epochs=1))) == 3
+
+
+def test_rotate_identity_and_ninety():
+    img = jnp.arange(16.0).reshape(4, 4)
+    out = rotate_image(img, 0.0, order=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    # 90-degree rotation of a symmetric-center grid permutes values, keeps set
+    out90 = rotate_image(img, jnp.pi / 2, order=0)
+    assert sorted(np.asarray(out90).ravel().tolist()) == sorted(np.asarray(img).ravel().tolist())
+
+
+def test_random_crop_and_flip_consistency(rng):
+    img = jnp.array(rng.random((32, 48, 3)), jnp.float32)
+    depth = img[..., 0] * 10
+    key = jax.random.PRNGKey(3)
+    ic, dc = random_crop(img, depth, key, 16, 24)
+    assert ic.shape == (16, 24, 3) and dc.shape == (16, 24)
+    # crop offsets identical for img and depth
+    np.testing.assert_allclose(np.asarray(ic[..., 0] * 10), np.asarray(dc), rtol=1e-6)
+    if_, df = random_flip(img, depth, key)
+    np.testing.assert_allclose(np.asarray(if_[..., 0] * 10), np.asarray(df), rtol=1e-6)
+
+
+def test_augment_batch_shapes_and_determinism(rng):
+    images = rng.integers(0, 255, size=(2, 64, 96, 3), dtype=np.uint8)
+    depths = rng.uniform(0.1, 10, size=(2, 64, 96)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(out_h=48, out_w=64, dataset="nyu", degree=2.5, do_random_rotate=True)
+    i1, d1 = augment_batch(jnp.array(images), jnp.array(depths), key, **kwargs)
+    i2, d2 = augment_batch(jnp.array(images), jnp.array(depths), key, **kwargs)
+    assert i1.shape == (2, 48, 64, 3) and d1.shape == (2, 48, 64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))  # same key => identical
+    i3, _ = augment_batch(jnp.array(images), jnp.array(depths), jax.random.PRNGKey(8), **kwargs)
+    assert np.abs(np.asarray(i1) - np.asarray(i3)).max() > 1e-5  # different key => differs
+
+
+def test_eval_preprocess_matches_normalize(rng):
+    images = rng.integers(0, 255, size=(1, 8, 8, 3), dtype=np.uint8)
+    out = eval_preprocess(jnp.array(images))
+    ref = normalize_image(jnp.array(images, jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bts_tpu.config import Config
+from bts_tpu.models import BtsModel
+from bts_tpu.parallel.mesh import create_mesh, shard_batch
+from bts_tpu.training.optimizer import make_optimizer, polynomial_schedule
+from bts_tpu.training.trainer import TrainState, make_eval_step, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dataset="nyu",
+        encoder="mobilenetv2_bts",
+        max_depth=10.0,
+        bts_size=128,
+        input_height=32,
+        input_width=64,
+        batch_size=8,
+        learning_rate=1e-4,
+        do_random_rotate=False,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def tiny_model(cfg):
+    return BtsModel(
+        encoder_name=cfg.encoder, max_depth=cfg.max_depth, num_features=cfg.bts_size
+    )
+
+
+def make_batch(rng, b, h, w):
+    return {
+        "image": rng.integers(0, 255, size=(b, h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(0.2, 9.0, size=(b, h, w)).astype(np.float32),
+        "focal": np.full((b,), 518.8579, np.float32),
+    }
+
+
+def test_polynomial_schedule_reference_formula():
+    sched = polynomial_schedule(1e-4, 1e-5, 100, power=0.9)
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(100)), 1e-5)
+    expected_mid = (1e-4 - 1e-5) * (1 - 50 / 100) ** 0.9 + 1e-5
+    assert np.isclose(float(sched(50)), expected_mid, rtol=1e-6)
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, total_steps=50)
+    batch = make_batch(rng, 4, 40, 72)  # pre-crop geometry > input size
+    init_img = jnp.zeros((4, cfg.input_height, cfg.input_width, 3))
+    variables = model.init(jax.random.PRNGKey(0), init_img, True)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, cfg, mesh=None, augment=True)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(8):
+        state, metrics = step(state, jb, key)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_train_step_data_parallel_mesh_matches_single(rng):
+    """DP over the 8-device CPU mesh must match single-device numerics."""
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, total_steps=50)
+    batch = make_batch(rng, 8, 40, 72)
+    init_img = jnp.zeros((8, cfg.input_height, cfg.input_width, 3))
+    variables = model.init(jax.random.PRNGKey(0), init_img, True)
+    key = jax.random.PRNGKey(0)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # The train step donates its state argument; give each state its own
+    # buffers (device_put may zero-copy the device-0 shard) so donation in
+    # step_a can't delete arrays state_b still references.
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    from bts_tpu.parallel.mesh import replicated_sharding
+
+    state_b = jax.device_put(TrainState.create(variables, tx), replicated_sharding(mesh))
+
+    state_a = TrainState.create(jax.tree.map(jnp.copy, variables), tx)
+    step_a = make_train_step(model, tx, cfg, mesh=None, augment=True)
+    state_a, m_a = step_a(state_a, jb, key)
+    step_b = make_train_step(model, tx, cfg, mesh=mesh, augment=True)
+    state_b, m_b = step_b(state_b, shard_batch(jb, mesh), key)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    # spot-check a parameter tensor after update
+    pa = jax.tree.leaves(state_a.params)[0]
+    pb = jax.tree.leaves(state_b.params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_eval_step_shapes(rng):
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    init_img = jnp.zeros((1, 32, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), init_img, True)
+    state = TrainState.create(variables, tx)
+    ev = make_eval_step(model, cfg)
+    out = ev(state.params, state.batch_stats, jnp.asarray(make_batch(rng, 2, 32, 64)["image"]))
+    assert out.shape == (2, 32, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from bts_tpu.utils.checkpoint import CheckpointManager, restore_for_retrain
+
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), True)
+    state = TrainState.create(variables, tx).replace(step=jnp.asarray(7, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(7, state)
+    mgr.wait()
+    assert mgr.latest_step() == 7
+
+    template = TrainState.create(variables, tx)
+    restored = mgr.restore(template)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    # --retrain: weights restored, step reset
+    rt = restore_for_retrain(mgr, template)
+    assert int(rt.step) == 0
+    mgr.close()
