@@ -1,0 +1,79 @@
+"""Benchmark: images/sec/chip, DenseNet-161 BTS at KITTI KB-crop 352x1216.
+
+BASELINE.json north-star: ">=5x TF-CPU-baseline images/sec/chip at 352x1216"
+(config #2: DenseNet-161 Eigen-split eval geometry, batch 1).  The TF-CPU
+baseline is measured once by scripts/tf_baseline.py (no published throughput
+exists in this lineage) and stored in BASELINE_MEASURED.json; vs_baseline
+here is ours / tf_cpu.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(batch_size: int = 1, height: int = 352, width: int = 1216, iters: int = 20):
+    from bts_tpu.data.augment import eval_preprocess
+    from bts_tpu.models import BtsModel
+
+    platform = jax.devices()[0].platform
+    # bf16 compute on TPU (MXU-native); f32 on CPU fallback
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    model = BtsModel(
+        encoder_name="densenet161_bts", max_depth=80.0, num_features=512, dtype=dtype
+    )
+    rng = np.random.default_rng(0)
+    images_u8 = jnp.asarray(
+        rng.integers(0, 255, (batch_size, height, width, 3), dtype=np.uint8)
+    )
+    variables = jax.jit(lambda k, x: model.init(k, x, False))(
+        jax.random.PRNGKey(0), eval_preprocess(images_u8)
+    )
+
+    @jax.jit
+    def forward(images_u8):
+        *_, final = model.apply(variables, eval_preprocess(images_u8), False)
+        return final
+
+    forward(images_u8).block_until_ready()  # compile
+    for _ in range(3):  # warm-up
+        forward(images_u8).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(images_u8)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    ips = measure()
+    vs = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            tf_cpu = json.load(f).get("tf_cpu_images_per_sec")
+        if tf_cpu:
+            vs = ips / tf_cpu
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_kitti_352x1216_densenet161",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

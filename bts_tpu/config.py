@@ -82,6 +82,7 @@ class Config:
     # -- tpu-native knobs (new; no reference counterpart)
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
+    use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     dataloader_workers: int = 2
     shuffle_buffer: int = 1024
 

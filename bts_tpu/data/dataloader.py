@@ -174,8 +174,75 @@ class BtsDataLoader:
             if self.mode != "train":
                 break
 
+    def _crop_mode(self) -> int:
+        from bts_tpu.data import native_loader as nl
+
+        if self.cfg.dataset == "nyu":
+            return nl.CROP_NYU if self.mode == "train" else nl.CROP_NONE
+        return nl.CROP_KB if self.cfg.do_kb_crop else nl.CROP_NONE
+
+    def _native(self, num_epochs: Optional[int]) -> Optional[Iterator[dict]]:
+        """C++ decode+prefetch fast path (native/btsdata.cc); None if unusable."""
+        if self.cfg.use_native_loader == "never":
+            return None
+        from bts_tpu.data import native_loader as nl
+
+        if not nl.available():
+            if self.cfg.use_native_loader == "always":
+                raise RuntimeError("--use_native_loader always but libbtsdata unavailable")
+            return None
+        crop_mode = self._crop_mode()
+        if crop_mode == nl.CROP_NONE:
+            if self.cfg.dataset == "kitti":
+                # raw KITTI frames vary in size across drives; without the
+                # KB-crop there is no static geometry for batch assembly
+                return None
+            # fixed geometry assumed across the split; probe sample 0
+            probe = np.asarray(Image.open(self.samples[0].image_path))
+            h, w = probe.shape[0], probe.shape[1]
+        else:
+            h, w = nl.crop_shape(crop_mode, 0, 0)
+        inv_scale = 1.0 / (1000.0 if self.cfg.dataset == "nyu" else 256.0)
+        loader = nl.NativeBatchLoader(
+            [s.image_path for s in self.samples],
+            [s.depth_path for s in self.samples],
+            [s.focal for s in self.samples],
+            batch=self.batch_size,
+            height=h,
+            width=w,
+            crop_mode=crop_mode,
+            inv_scale=inv_scale,
+            with_depth=self.mode != "test",
+            num_threads=self.cfg.dataloader_workers,
+        )
+
+        def gen():
+            try:
+                epoch = 0
+                while num_epochs is None or epoch < num_epochs:
+                    loader.start_epoch(np.asarray(self._epoch_order(), np.int32))
+                    yield from loader
+                    epoch += 1
+                    if self.mode != "train":
+                        break
+            finally:
+                loader.close()
+
+        return gen()
+
     def prefetched(self, num_epochs: Optional[int] = None, depth: int = 2) -> Iterator[dict]:
-        """Background-thread prefetch so decode overlaps device compute."""
+        """Batches with decode overlapping device compute.
+
+        Prefers the native C++ loader (decode + crop + batch assembly on
+        worker threads); falls back to PIL + a Python prefetch thread.
+        """
+        native = self._native(num_epochs)
+        if native is not None:
+            return native
+        return self._py_prefetched(num_epochs, depth)
+
+    def _py_prefetched(self, num_epochs: Optional[int] = None, depth: int = 2) -> Iterator[dict]:
+        """Python fallback: PIL decode under a background prefetch thread."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
 
