@@ -26,14 +26,22 @@ def evaluate(cfg) -> np.ndarray:
     samples = parse_filenames_file(cfg.filenames_file, cfg.data_path, cfg.gt_path)
     pred_dir = cfg.image_path or cfg.out_path  # dir of predicted PNGs
     accum, missing = [], 0
+    from bts_tpu.cli.bts_test import pred_name
+
     for s in samples:
         if s.depth_path is None:
             continue
-        name = os.path.splitext(os.path.basename(s.image_path))[0] + ".png"
-        pred_file = os.path.join(pred_dir, name)
+        pred_file = os.path.join(pred_dir, pred_name(s.image_path, cfg.data_path) + ".png")
         if not os.path.exists(pred_file):
-            missing += 1
-            continue
+            # legacy/basename layout fallback
+            alt = os.path.join(
+                pred_dir, os.path.splitext(os.path.basename(s.image_path))[0] + ".png"
+            )
+            if os.path.exists(alt):
+                pred_file = alt
+            else:
+                missing += 1
+                continue
         gt = read_depth_png(s.depth_path, cfg.dataset)
         pred = read_depth_png(pred_file, cfg.dataset)
         if cfg.do_kb_crop and gt.shape != pred.shape:

@@ -26,7 +26,7 @@ from bts_tpu.data.dataloader import BtsDataLoader
 from bts_tpu.evaluation.metrics import METRIC_NAMES, compute_errors
 from bts_tpu.models import create_model
 from bts_tpu.parallel.mesh import create_mesh, shard_batch
-from bts_tpu.training.trainer import Trainer, make_eval_step
+from bts_tpu.training.trainer import Trainer, make_debug_step, make_eval_step
 from bts_tpu.utils.checkpoint import CheckpointManager, restore_for_retrain
 from bts_tpu.utils.summary import SummaryWriter
 
@@ -92,12 +92,21 @@ def main(argv=None):
     last_t = [t0]
     last_step = [int(state.step)]
 
-    def on_metrics(step, metrics):
+    debug_step = make_debug_step(model, cfg)
+    # fixed visualization crop from the first batch (static shape for jit)
+    vis_image = np.asarray(first["image"])[:1, : cfg.input_height, : cfg.input_width]
+
+    def on_metrics(step, metrics, state=None):
         now = time.time()
         ips = (step - last_step[0]) * cfg.batch_size / max(now - last_t[0], 1e-9)
         last_t[0], last_step[0] = now, step
         writer.scalars(step, {"train/" + k: v for k, v in metrics.items()})
         writer.scalars(step, {"train/images_per_sec": ips})
+        if state is not None:
+            # reference parity: TensorBoard depth + per-scale LPG images
+            outs = debug_step(state.params, state.batch_stats, jnp.asarray(vis_image))
+            for tag, img in outs.items():
+                writer.depth_image(step, f"train/{tag}", np.asarray(img)[0], cfg.max_depth)
         print(
             f"step {step}/{total_steps} loss {float(metrics['loss']):.4f} "
             f"| {ips:.1f} img/s | elapsed {now - t0:.0f}s",
@@ -113,7 +122,14 @@ def main(argv=None):
                 print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
 
     remaining = total_steps - int(state.step)
-    state = trainer.run(state, loader.prefetched(), remaining, on_metrics, on_save)
+    state = trainer.run(
+        state,
+        loader.prefetched(),
+        remaining,
+        on_metrics,
+        on_save,
+        profile_dir=os.path.join(logdir, "profile") if cfg.profile else None,
+    )
     mgr.save(int(state.step), state)
     mgr.wait()
     writer.close()

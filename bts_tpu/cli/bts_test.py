@@ -27,6 +27,14 @@ from bts_tpu.training.trainer import TrainState
 from bts_tpu.utils.checkpoint import CheckpointManager
 
 
+def pred_name(image_path: str, data_path: str) -> str:
+    """Collision-free prediction filename: the data_path-relative image path
+    flattened with '_' (KITTI basenames repeat across drives)."""
+    rel = os.path.relpath(image_path, data_path) if data_path else image_path
+    rel = os.path.splitext(rel)[0]
+    return rel.replace(os.sep, "_").replace("/", "_").lstrip("._")
+
+
 def save_cmap_png(path: str, depth: np.ndarray, max_depth: float) -> None:
     """8-bit grayscale preview (the reference uses a matplotlib cmap; a
     colormap-free normalized preview keeps matplotlib off the hot path)."""
@@ -71,7 +79,7 @@ def main(argv=None):
             state = restore_state(cfg, model, eval_preprocess(images))
         d8, d4, d2, d1, final = forward(state.params, state.batch_stats, images)
         pred = np.asarray(final)[0, :, :, 0]
-        name = os.path.splitext(os.path.basename(loader.samples[i].image_path))[0]
+        name = pred_name(loader.samples[i].image_path, cfg.data_path)
         write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
         if cfg.save_cmap:
             save_cmap_png(os.path.join(out_dir, "cmap", name + ".png"), pred, cfg.max_depth)

@@ -80,6 +80,7 @@ class Config:
     save_lpg: bool = False
     save_cmap: bool = False
     # -- tpu-native knobs (new; no reference counterpart)
+    profile: bool = False  # jax.profiler trace of steps 10..15 into log dir
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)

@@ -55,6 +55,39 @@ ENCODERS = {
 }
 
 
+def freeze_prefixes(name: str, num_blocks: int) -> Tuple[str, ...]:
+    """Encoder submodule names frozen by --fix_first_conv_block(s).
+
+    Reference semantics (SURVEY.md §2.12 ``fix_first_conv_block[s]``): freeze
+    the stem plus the first one (``_block``) or two (``_blocks``) stages when
+    fine-tuning.  Returns flax submodule-name prefixes within the encoder.
+    """
+    spec = ENCODERS[name]
+    names = ["Conv_0", "BatchNorm_0"]  # stem
+    cls = spec["cls"].__name__
+    if cls == "DenseNet":
+        cfg = spec["kwargs"]["block_config"]
+        li = 0
+        for stage in range(min(num_blocks, len(cfg))):
+            names += [f"DenseLayer_{li + j}" for j in range(cfg[stage])]
+            li += cfg[stage]
+            if stage < len(cfg) - 1:
+                names.append(f"Transition_{stage}")
+    elif cls == "ResNet":
+        sizes = spec["kwargs"]["stage_sizes"]
+        bi = 0
+        for stage in range(min(num_blocks, len(sizes))):
+            names += [f"Bottleneck_{bi + j}" for j in range(sizes[stage])]
+            bi += sizes[stage]
+    elif cls == "MobileNetV2":
+        # MBV2 config rows: stage1 = the single 16ch block, stage2 = the
+        # two 24ch blocks (InvertedResidual counter is global)
+        stage_blocks = ((0,), (1, 2))
+        for stage in range(min(num_blocks, 2)):
+            names += [f"InvertedResidual_{j}" for j in stage_blocks[stage]]
+    return tuple(names)
+
+
 def build_encoder(name: str, dtype=jnp.float32):
     if name not in ENCODERS:
         raise ValueError(f"unknown encoder {name!r}; choose from {sorted(ENCODERS)}")

@@ -4,20 +4,28 @@ Replaces the upstream CUDA op (SURVEY.md §2.9) with a TPU-native kernel.
 Why a kernel at all: the jnp fallback materializes a (B, h, k, w, k) f32
 intermediate in HBM and then pays a lane-interleaving relayout for the
 reshape to (B, h*k, w*k).  The Pallas kernel writes the final interleaved
-layout directly from VMEM, reading each plane tensor exactly once — the op
-becomes purely HBM-bandwidth-bound at the size of its output.
+layout directly from VMEM, reading each plane tensor exactly once.
 
-Forward layout trick: for an output tile, per-pixel plane coefficients are
-produced by `pltpu.repeat` along rows and lanes (VPU-local), and the
-in-patch (u, v) offsets by `broadcasted_iota % k` — no gathers, no reshapes.
+Layout trick — element-repeat expansion as MXU matmuls: on TPU, vregs make
+an in-register k-fold element repeat awkward (``pltpu.repeat`` is a TILE
+repeat: [a,b] -> [a,b,a,b], not [a,a,b,b]).  Instead the (h, w) plane maps
+are expanded to (h*k, w*k) with two matmuls against static 0/1 selector
+matrices
 
-Backward: d depth / d(n1,n2,n3,n4) are dense elementwise expressions in
-(depth, denom, u, v); the k x k patch reduction back to the (h, w) grid is
-two matmuls with static 0/1 group-selector matrices — i.e. the reduction
-rides the MXU instead of a strided-slice loop.
+    E = R @ x @ C,   R[i,j] = [j == i//k]  (h*k, h),
+                     C[j,i] = [j == i//k]  (w, w*k)
+
+which are exact copies (one 1.0 per row/col) and ride the MXU.  The
+in-patch (u, v) offsets come from ``broadcasted_iota % k`` — no gathers.
+
+Backward: d depth/d n_i are dense elementwise expressions; the k x k patch
+reduction back to the (h, w) grid is the transposed selector matmuls.
 
 Division is computed in f32 regardless of input dtype (bf16 plane params
 lose ~2 digits in the denominator; parity target abs_rel <= 1e-3).
+
+Correctness is pinned two ways: interpret-mode tests in tests/test_ops.py
+(CPU CI) and the real-TPU check in scripts/validate_pallas_tpu.py.
 """
 
 from __future__ import annotations
@@ -29,11 +37,13 @@ import jax.numpy as jnp
 
 try:  # pallas imports fail gracefully on unsupported backends
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_IMPORTED = True
 except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
+
+# test hook: run kernels in interpret mode (CPU) — set by tests only
+_INTERPRET = False
 
 
 def pallas_available() -> bool:
@@ -48,7 +58,7 @@ def pallas_available() -> bool:
 
 
 def _patch_offsets(k: int, n_rows: int, n_cols: int):
-    """(v, u) patch-centered offset grids for an output tile, via 2-D iota."""
+    """(v, u) patch-centered offset grids for the interleaved output tile."""
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 1)
     v = ((row_ids % k).astype(jnp.float32) - (k - 1) * 0.5) / k
@@ -56,49 +66,72 @@ def _patch_offsets(k: int, n_rows: int, n_cols: int):
     return v, u
 
 
-def _expand(x, k: int):
-    """(hb, w) -> (hb*k, w*k) by element-repeat along both axes (VPU-local)."""
-    return pltpu.repeat(pltpu.repeat(x, k, axis=0), k, axis=1)
+def _row_expander(h: int, k: int):
+    """(h*k, h) 0/1 matrix R with R[i, i//k] = 1 (element-repeat rows)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h * k, h), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h * k, h), 1)
+    return (cols == rows // k).astype(jnp.float32)
 
 
-def _fwd_kernel(n1_ref, n2_ref, n3_ref, n4_ref, out_ref, *, k: int):
-    n1 = _expand(n1_ref[0].astype(jnp.float32), k)
-    n2 = _expand(n2_ref[0].astype(jnp.float32), k)
-    n3 = _expand(n3_ref[0].astype(jnp.float32), k)
-    n4 = _expand(n4_ref[0].astype(jnp.float32), k)
-    v, u = _patch_offsets(k, *n1.shape)
-    out_ref[0] = n4 / (n1 * u + n2 * v + n3)
-
-
-def _group_selector(h: int, k: int):
-    """(h, h*k) 0/1 matrix S with S[i, i*k + j] = 1 — patch-sum via matmul."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, h * k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, h * k), 1)
+def _col_expander(w: int, k: int):
+    """(w, w*k) 0/1 matrix C with C[i//k, i] = 1 (element-repeat cols)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w * k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w * k), 1)
     return (rows == cols // k).astype(jnp.float32)
 
 
+def _mm(a, b):
+    # HIGHEST: the TPU MXU's default precision rounds inputs to bf16; the
+    # selector matmul must be an EXACT f32 copy (one 1.0 per row/col)
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _expand(x, r_mat, c_mat):
+    """(h, w) -> (h*k, w*k) element-repeat via two exact-copy MXU matmuls."""
+    return _mm(_mm(r_mat, x.astype(jnp.float32)), c_mat)
+
+
+def _fwd_kernel(n1_ref, n2_ref, n3_ref, n4_ref, out_ref, *, k: int):
+    h, w = n1_ref.shape[1], n1_ref.shape[2]
+    r_mat = _row_expander(h, k)
+    c_mat = _col_expander(w, k)
+    n1 = _expand(n1_ref[0], r_mat, c_mat)
+    n2 = _expand(n2_ref[0], r_mat, c_mat)
+    n3 = _expand(n3_ref[0], r_mat, c_mat)
+    n4 = _expand(n4_ref[0], r_mat, c_mat)
+    v, u = _patch_offsets(k, h * k, w * k)
+    out_ref[0] = n4 / (n1 * u + n2 * v + n3)
+
+
 def _bwd_kernel(n1_ref, n2_ref, n3_ref, n4_ref, g_ref, d1_ref, d2_ref, d3_ref, d4_ref, *, k: int):
-    n1 = _expand(n1_ref[0].astype(jnp.float32), k)
-    n2 = _expand(n2_ref[0].astype(jnp.float32), k)
-    n3 = _expand(n3_ref[0].astype(jnp.float32), k)
-    n4 = _expand(n4_ref[0].astype(jnp.float32), k)
+    h, w = n1_ref.shape[1], n1_ref.shape[2]
+    r_mat = _row_expander(h, k)  # (h*k, h)
+    c_mat = _col_expander(w, k)  # (w, w*k)
+    n1 = _expand(n1_ref[0], r_mat, c_mat)
+    n2 = _expand(n2_ref[0], r_mat, c_mat)
+    n3 = _expand(n3_ref[0], r_mat, c_mat)
+    n4 = _expand(n4_ref[0], r_mat, c_mat)
     g = g_ref[0].astype(jnp.float32)
-    v, u = _patch_offsets(k, *n1.shape)
+    v, u = _patch_offsets(k, h * k, w * k)
     inv = 1.0 / (n1 * u + n2 * v + n3)
     ginv = g * inv
     common = -ginv * n4 * inv  # -g * n4 / denom^2
-    hb = d1_ref.shape[1]
-    w = d1_ref.shape[2]
-    s_row = _group_selector(hb, k)  # (hb, hb*k)
-    s_col = _group_selector(w, k)  # (w, w*k)
 
-    def patch_sum(x):  # (hb*k, w*k) -> (hb, w) on the MXU
+    def patch_sum(x):  # (h*k, w*k) -> (h, w): transposed expanders on the MXU
         t = jax.lax.dot_general(
-            s_row, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            r_mat, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # R^T @ x : (h, w*k)
         return jax.lax.dot_general(
-            t, s_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            t, c_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # @ C^T : (h, w)
 
     d1_ref[0] = patch_sum(common * u)
     d2_ref[0] = patch_sum(common * v)
@@ -121,16 +154,19 @@ def _lpg_fwd_impl(plane_eq, k):
     b, h, w, _ = plane_eq.shape
     n1, n2, n3, n4 = _plane_components(plane_eq)
     grid = (b,)
-    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, k=k),
         grid=grid,
         in_specs=[in_spec] * 4,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h * k, w * k), jnp.float32),
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=7 * b * h * w * k * k, bytes_accessed=4 * (4 * b * h * w + b * h * w * k * k), transcendentals=0
+            flops=2 * b * 4 * (h * k * h * w + h * k * w * w * k) + 7 * b * h * w * k * k,
+            bytes_accessed=4 * (4 * b * h * w + b * h * w * k * k),
+            transcendentals=0,
         ),
     )(n1, n2, n3, n4)
 
@@ -143,8 +179,8 @@ def _lpg_fwd(plane_eq, k):
 def _lpg_bwd(k, plane_eq, g):
     b, h, w, _ = plane_eq.shape
     n1, n2, n3, n4 = _plane_components(plane_eq)
-    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
+    g_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
     out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.float32)
     d1, d2, d3, d4 = pl.pallas_call(
         functools.partial(_bwd_kernel, k=k),
@@ -152,8 +188,9 @@ def _lpg_bwd(k, plane_eq, g):
         in_specs=[in_spec] * 4 + [g_spec],
         out_specs=[in_spec] * 4,
         out_shape=[out_shape] * 4,
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (h * w * k * k * 8 + h * (h * k) * (w * k) + h * w * (w * k)),
+            flops=2 * b * 8 * (h * k * h * w + h * k * w * w * k) + 10 * b * h * w * k * k,
             bytes_accessed=4 * b * h * w * (k * k + 8),
             transcendentals=0,
         ),

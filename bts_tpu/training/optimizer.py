@@ -11,6 +11,8 @@ f32 (params are f32 masters; bf16 lives only in the forward compute dtype).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import optax
 
 
@@ -20,12 +22,48 @@ def polynomial_schedule(lr: float, end_lr: float, total_steps: int, power: float
     )
 
 
+def freeze_mask(params, cfg) -> Optional[dict]:
+    """--fix_first_conv_block(s): True where a param is TRAINABLE.
+
+    Freezes the encoder stem + first one/two stages (reference fine-tuning
+    flags, SURVEY.md §2.12).  Returns None when nothing is frozen.
+    """
+    num = 2 if cfg.fix_first_conv_blocks else (1 if cfg.fix_first_conv_block else 0)
+    if num == 0:
+        return None
+    from bts_tpu.models.encoders import freeze_prefixes
+
+    frozen = set(freeze_prefixes(cfg.encoder, num))
+
+    import jax
+
+    def trainable(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        # frozen names are submodules of the encoder module (depth 1);
+        # the decoder reuses names like Conv_0, so scope to the encoder
+        in_encoder = keys and keys[0].split("_")[0] in ("DenseNet", "ResNet", "MobileNetV2")
+        return not (in_encoder and len(keys) > 1 and keys[1] in frozen)
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
 def make_optimizer(cfg, total_steps: int) -> optax.GradientTransformation:
     sched = polynomial_schedule(cfg.learning_rate, cfg.end_lr, total_steps)
-    return optax.adamw(
+    tx = optax.adamw(
         learning_rate=sched,
         b1=0.9,
         b2=0.999,
         eps=cfg.adam_eps,
         weight_decay=cfg.weight_decay,
     )
+    if cfg.fix_first_conv_block or cfg.fix_first_conv_blocks:
+        # zero the FINAL update (after adamw) for frozen params, so neither
+        # the gradient step nor adamw's decoupled weight decay moves them
+        def frozen_sel(params):
+            import jax
+
+            mask = freeze_mask(params, cfg)
+            return jax.tree.map(lambda trainable: not trainable, mask)
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_sel))
+    return tx

@@ -83,9 +83,12 @@ def make_train_step(
             focal=focal if use_focal else None,
             mutable=["batch_stats"],
         )
+        # --bn_no_track_stats (reference flag): normalize by batch statistics
+        # but never update the running averages
+        new_bs = batch_stats if cfg.bn_no_track_stats else mutated["batch_stats"]
         mask = default_mask(depths, cfg.dataset)
         loss = silog_loss(final[..., 0], depths, mask, cfg.variance_focus)
-        return loss, (mutated["batch_stats"], final)
+        return loss, (new_bs, final)
 
     def train_step(state: TrainState, batch: dict, key) -> Tuple[TrainState, dict]:
         step_key = jax.random.fold_in(key, state.step)
@@ -124,13 +127,21 @@ def make_train_step(
     )
 
 
+def _apply_eval(model, cfg, variables, images):
+    """Eval-mode forward honoring --bn_no_track_stats (batch-stat BN)."""
+    if cfg.bn_no_track_stats:
+        outs, _ = model.apply(variables, images, True, mutable=["batch_stats"])
+        return outs
+    return model.apply(variables, images, False)
+
+
 def make_eval_step(model, cfg, mesh=None) -> Callable:
     """Jitted full-res forward for online eval / test drivers."""
 
     def eval_step(params, batch_stats, images):
         images = eval_preprocess(images)
         variables = {"params": params, "batch_stats": batch_stats}
-        *_, final = model.apply(variables, images, False)
+        *_, final = _apply_eval(model, cfg, variables, images)
         return final[..., 0]
 
     if mesh is None:
@@ -138,6 +149,24 @@ def make_eval_step(model, cfg, mesh=None) -> Callable:
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     return jax.jit(eval_step, in_shardings=(repl, repl, data), out_shardings=data)
+
+
+def make_debug_step(model, cfg) -> Callable:
+    """Jitted forward returning all outputs (final + per-scale LPG depths)
+    for TensorBoard image summaries (reference's visual validation)."""
+
+    def debug_step(params, batch_stats, images):
+        images = eval_preprocess(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        d8, d4, d2, d1, final = _apply_eval(model, cfg, variables, images)
+        return {
+            "depth": final[..., 0],
+            "lpg8x8": d8[..., 0] * cfg.max_depth,
+            "lpg4x4": d4[..., 0] * cfg.max_depth,
+            "lpg2x2": d2[..., 0] * cfg.max_depth,
+        }
+
+    return jax.jit(debug_step)
 
 
 class Trainer:
@@ -165,6 +194,13 @@ class Trainer:
         ]
         images = normalize_image(images / 255.0)
         variables = self.model.init(jax.random.PRNGKey(seed), images, True)
+        if self.cfg.pretrained_model:
+            from bts_tpu.utils.torch_converter import load_pretrained_encoder
+
+            variables = load_pretrained_encoder(
+                variables, self.cfg.encoder, self.cfg.pretrained_model
+            )
+            print(f"[bts_tpu] encoder initialized from {self.cfg.pretrained_model}")
         state = TrainState.create(variables, self.tx)
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
@@ -177,18 +213,27 @@ class Trainer:
         num_steps: int,
         on_metrics: Optional[Callable] = None,
         on_save: Optional[Callable] = None,
+        profile_dir: Optional[str] = None,
     ) -> TrainState:
         from bts_tpu.parallel.mesh import shard_batch
 
         for i, batch in enumerate(batches):
             if i >= num_steps:
                 break
+            # --profile: trace steps 10..15 (past compile + warm-up) into the
+            # TensorBoard profile plugin format
+            if profile_dir is not None and i == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir is not None and i == 15:
+                jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                print(f"[bts_tpu] profile written to {profile_dir}")
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.train_step(state, batch, self.base_key)
             step = int(state.step)
             if on_metrics is not None and (step % self.cfg.log_freq == 0 or i == 0):
-                on_metrics(step, jax.device_get(metrics))
+                on_metrics(step, jax.device_get(metrics), state)
             if on_save is not None and step % self.cfg.save_freq == 0:
                 on_save(step, state)
         return state

@@ -1,0 +1,233 @@
+"""torchvision state_dict -> bts_tpu encoder params (pretrained-weight path).
+
+The reference initializes encoders from ImageNet-pretrained weights
+(SURVEY.md §2.5: keras.applications where available, manual ports for
+DenseNet-161/ResNeXt).  In this framework the canonical weight origin is a
+torchvision ``state_dict`` saved to disk (``torch.save(model.state_dict(),
+path)``); ``--pretrained_model path.pth`` loads it into the encoder before
+training.
+
+Layout rules:
+- torch conv weight  (cout, cin, kh, kw) -> flax kernel (kh, kw, cin, cout)
+- torch depthwise    (ch, 1, kh, kw)     -> flax grouped (kh, kw, 1, ch)
+- torch BN weight/bias/running_mean/running_var ->
+  flax BatchNorm {scale, bias} params + {mean, var} batch_stats.
+  (our BatchNorm wrapper nests an nn.BatchNorm named 'BatchNorm_0')
+
+Each encoder family gets an explicit (flax_path, torch_key, kind) mapping —
+order-based matching is too fragile across families.  The mapping is also
+invertible, which the round-trip unit test uses: synthesize a fake torch
+state_dict FROM a flax init, convert, and require exact tree equality —
+this pins the transpose rules and proves every encoder leaf is covered.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# kind: how the torch tensor maps onto the flax leaf
+K_CONV = "conv"  # transpose (2,3,1,0)
+K_DEPTHWISE = "dw"  # transpose (2,3,1,0) (ch,1,kh,kw)->(kh,kw,1,ch)
+K_DIRECT = "direct"  # 1-D BN vectors
+
+MapEntry = Tuple[Tuple[str, ...], str, str]  # (flax path, torch key, kind)
+
+
+def _bn(flax_prefix: Tuple[str, ...], torch_prefix: str) -> List[MapEntry]:
+    """Our BatchNorm wrapper: <prefix>/BatchNorm_0/{scale,bias} params and
+    batch_stats {mean,var} (paths returned against the respective trees)."""
+    inner = flax_prefix + ("BatchNorm_0",)
+    return [
+        (inner + ("scale",), torch_prefix + ".weight", K_DIRECT),
+        (inner + ("bias",), torch_prefix + ".bias", K_DIRECT),
+        (inner + ("mean",), torch_prefix + ".running_mean", K_DIRECT),
+        (inner + ("var",), torch_prefix + ".running_var", K_DIRECT),
+    ]
+
+
+def densenet_mapping(block_config: Tuple[int, ...]) -> List[MapEntry]:
+    """torchvision densenet121/161 <-> bts_tpu.models.encoders.densenet."""
+    m: List[MapEntry] = [(("Conv_0", "kernel"), "features.conv0.weight", K_CONV)]
+    m += _bn(("BatchNorm_0",), "features.norm0")
+    li = 0
+    for b, num_layers in enumerate(block_config):
+        for l in range(1, num_layers + 1):
+            src = f"features.denseblock{b + 1}.denselayer{l}"
+            dst = f"DenseLayer_{li}"
+            li += 1
+            m += _bn((dst, "BatchNorm_0"), f"{src}.norm1")
+            m.append(((dst, "Conv_0", "kernel"), f"{src}.conv1.weight", K_CONV))
+            m += _bn((dst, "BatchNorm_1"), f"{src}.norm2")
+            m.append(((dst, "Conv_1", "kernel"), f"{src}.conv2.weight", K_CONV))
+        if b < len(block_config) - 1:
+            src = f"features.transition{b + 1}"
+            dst = f"Transition_{b}"
+            m += _bn((dst, "BatchNorm_0"), f"{src}.norm")
+            m.append(((dst, "Conv_0", "kernel"), f"{src}.conv.weight", K_CONV))
+    m += _bn(("BatchNorm_1",), "features.norm5")
+    return m
+
+
+def resnet_mapping(stage_sizes: Tuple[int, ...], downsample_first: bool = True) -> List[MapEntry]:
+    """torchvision resnet50/101 + resnext50_32x4d/resnext101_32x8d <->
+    bts_tpu.models.encoders.resnet (bottleneck-v1, global Bottleneck_j counter).
+
+    Our Bottleneck projects the residual when channels or stride change;
+    torchvision's 'downsample' exists on the same blocks (first of each
+    stage, including stage 0's channel expansion 64->256).
+    """
+    m: List[MapEntry] = [(("Conv_0", "kernel"), "conv1.weight", K_CONV)]
+    m += _bn(("BatchNorm_0",), "bn1")
+    j = 0
+    for stage, num_blocks in enumerate(stage_sizes):
+        for b in range(num_blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = f"Bottleneck_{j}"
+            j += 1
+            m.append(((dst, "Conv_0", "kernel"), f"{src}.conv1.weight", K_CONV))
+            m += _bn((dst, "BatchNorm_0"), f"{src}.bn1")
+            m.append(((dst, "Conv_1", "kernel"), f"{src}.conv2.weight", K_CONV))
+            m += _bn((dst, "BatchNorm_1"), f"{src}.bn2")
+            m.append(((dst, "Conv_2", "kernel"), f"{src}.conv3.weight", K_CONV))
+            m += _bn((dst, "BatchNorm_2"), f"{src}.bn3")
+            has_downsample = b == 0  # stage 0: channel expand; others: stride
+            if has_downsample:
+                m.append(((dst, "Conv_3", "kernel"), f"{src}.downsample.0.weight", K_CONV))
+                m += _bn((dst, "BatchNorm_3"), f"{src}.downsample.1")
+    return m
+
+
+_MBV2_CONFIG = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+
+def mobilenetv2_mapping() -> List[MapEntry]:
+    """torchvision mobilenet_v2 <-> bts_tpu.models.encoders.mobilenetv2."""
+    m: List[MapEntry] = [(("Conv_0", "kernel"), "features.0.0.weight", K_CONV)]
+    m += _bn(("BatchNorm_0",), "features.0.1")
+    j = 0  # InvertedResidual counter (ours); torch features index = j+1
+    for t, c, n, s in _MBV2_CONFIG:
+        for i in range(n):
+            src = f"features.{j + 1}.conv"
+            dst = f"InvertedResidual_{j}"
+            j += 1
+            if t != 1:
+                m.append(((dst, "Conv_0", "kernel"), f"{src}.0.0.weight", K_CONV))
+                m += _bn((dst, "BatchNorm_0"), f"{src}.0.1")
+                dw, pw, pbn = f"{src}.1.0", f"{src}.2", f"{src}.3"
+                dwbn = f"{src}.1.1"
+                ci, bi = 1, 1
+            else:
+                dw, dwbn, pw, pbn = f"{src}.0.0", f"{src}.0.1", f"{src}.1", f"{src}.2"
+                ci, bi = 0, 0
+            m.append(((dst, f"Conv_{ci}", "kernel"), f"{dw}.weight", K_DEPTHWISE))
+            m += _bn((dst, f"BatchNorm_{bi}"), dwbn)
+            m.append(((dst, f"Conv_{ci + 1}", "kernel"), f"{pw}.weight", K_CONV))
+            m += _bn((dst, f"BatchNorm_{bi + 1}"), pbn)
+    m.append((("Conv_1", "kernel"), "features.18.0.weight", K_CONV))
+    m += _bn(("BatchNorm_1",), "features.18.1")
+    return m
+
+
+ENCODER_MAPPINGS = {
+    "densenet121_bts": lambda: densenet_mapping((6, 12, 24, 16)),
+    "densenet161_bts": lambda: densenet_mapping((6, 12, 36, 24)),
+    "resnet50_bts": lambda: resnet_mapping((3, 4, 6, 3)),
+    "resnet101_bts": lambda: resnet_mapping((3, 4, 23, 3)),
+    "resnext50_bts": lambda: resnet_mapping((3, 4, 6, 3)),
+    "resnext101_bts": lambda: resnet_mapping((3, 4, 23, 3)),
+    "mobilenetv2_bts": mobilenetv2_mapping,
+}
+
+
+def torch_to_flax_tensor(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind in (K_CONV, K_DEPTHWISE):
+        return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
+    return np.asarray(arr)
+
+
+def flax_to_torch_tensor(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind in (K_CONV, K_DEPTHWISE):
+        return np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+    return np.asarray(arr)
+
+
+def _set_path(tree: dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    if path[-1] not in node:
+        raise KeyError(f"flax tree has no leaf {'/'.join(path)}")
+    expected = np.shape(node[path[-1]])
+    if tuple(expected) != tuple(np.shape(value)):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: flax {expected} vs torch {np.shape(value)}"
+        )
+    node[path[-1]] = value
+
+
+def convert_encoder(
+    encoder_name: str,
+    state_dict: Dict[str, np.ndarray],
+    params: dict,
+    batch_stats: dict,
+) -> Tuple[dict, dict]:
+    """Write torch weights into copies of (params, batch_stats) for the
+    encoder subtree; returns the updated trees.  ``state_dict`` values may be
+    torch tensors or numpy arrays.
+    """
+    import copy
+
+    import jax.numpy as jnp
+
+    params = copy.deepcopy(jax_to_py(params))
+    batch_stats = copy.deepcopy(jax_to_py(batch_stats))
+    mapping = ENCODER_MAPPINGS[encoder_name]()
+    for flax_path, torch_key, kind in mapping:
+        if torch_key not in state_dict:
+            raise KeyError(f"{torch_key} missing from state_dict (for {'/'.join(flax_path)})")
+        t = state_dict[torch_key]
+        arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, np.float32)
+        arr = torch_to_flax_tensor(arr, kind)
+        tree = batch_stats if flax_path[-1] in ("mean", "var") else params
+        _set_path(tree, flax_path, jnp.asarray(arr))
+    return params, batch_stats
+
+
+def jax_to_py(tree):
+    """Materialize a (possibly frozen) param tree as plain nested dicts."""
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: jax_to_py(v) for k, v in tree.items()}
+    return tree
+
+
+def load_pretrained_encoder(variables: dict, encoder_name: str, path: str) -> dict:
+    """--pretrained_model entry: load a torch .pth/.pt state_dict (or .npz)
+    into the encoder subtree of a full BtsModel variables dict."""
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    # encoder subtree name inside BtsModel: the single encoder submodule
+    enc_keys = [k for k in variables["params"] if k.split("_")[0] in
+                ("DenseNet", "ResNet", "MobileNetV2")]
+    if len(enc_keys) != 1:
+        raise ValueError(f"could not locate encoder subtree; candidates {enc_keys}")
+    enc = enc_keys[0]
+    p, bs = convert_encoder(
+        encoder_name,
+        sd,
+        variables["params"][enc],
+        variables.get("batch_stats", {}).get(enc, {}),
+    )
+    new_vars = {
+        "params": {**jax_to_py(variables["params"]), enc: p},
+        "batch_stats": {**jax_to_py(variables.get("batch_stats", {})), enc: bs},
+    }
+    return new_vars

@@ -111,3 +111,28 @@ def test_lpg_dispatcher_fallback(rng):
     out = local_planar_guidance(pe, 4, use_pallas="auto")
     ref = lpg_reference(pe, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_pallas_kernel_interpret_fwd_bwd(rng):
+    """Pallas kernel logic vs jnp reference, interpret mode (CPU CI).
+
+    Real-TPU lowering is validated by scripts/validate_pallas_tpu.py (the
+    first kernel version passed interpret but was wrong on hardware —
+    pltpu.repeat is a tile repeat; keep both checks).
+    """
+    from bts_tpu.ops import lpg_pallas
+
+    lpg_pallas._INTERPRET = True
+    try:
+        for k, h, w in [(8, 3, 5), (4, 6, 10), (2, 12, 20)]:
+            pe = jnp.array(random_planes(rng, 2, h, w))
+            out = lpg_pallas.lpg(pe, k)
+            ref = lpg_reference(pe, k)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+            g = jnp.array(rng.standard_normal(out.shape).astype(np.float32))
+            gp = jax.grad(lambda p: (lpg_pallas.lpg(p, k) * g).sum())(pe)
+            gr = jax.grad(lambda p: (lpg_reference(p, k) * g).sum())(pe)
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-4)
+    finally:
+        lpg_pallas._INTERPRET = False
