@@ -25,68 +25,87 @@ import tensorflow as tf
 
 L = tf.keras.layers
 
+_SEQ = [0]
+
+
+def _nm(kind: str) -> str:
+    """Construction-ordered layer name: seq<N>_<kind>.  The flax converter
+    (utils/tf_model_converter.keras_streams) sorts weighted layers by <N> —
+    Keras's model.layers is topological order, which permutes parallel
+    branches relative to code order."""
+    _SEQ[0] += 1
+    return f"seq{_SEQ[0]}_{kind}"
+
+
+def conv2d(*args, **kw):
+    kw.setdefault("name", _nm("conv"))
+    return L.Conv2D(*args, **kw)
+
+
+def bn():
+    return L.BatchNormalization(epsilon=1.1e-5, name=_nm("bn"))
+
 
 def dense_block(x, num_layers: int, growth_rate: int, name: str):
     for i in range(num_layers):
-        y = L.BatchNormalization(name=f"{name}_bn{i}")(x)
+        y = bn()(x)
         y = L.ReLU()(y)
-        y = L.Conv2D(4 * growth_rate, 1, use_bias=False, name=f"{name}_c1_{i}")(y)
-        y = L.BatchNormalization(name=f"{name}_bn2_{i}")(y)
+        y = conv2d(4 * growth_rate, 1, use_bias=False)(y)
+        y = bn()(y)
         y = L.ReLU()(y)
-        y = L.Conv2D(growth_rate, 3, padding="same", use_bias=False, name=f"{name}_c3_{i}")(y)
+        y = conv2d(growth_rate, 3, padding="same", use_bias=False)(y)
         x = L.Concatenate()([x, y])
     return x
 
 
 def transition(x, reduction: float, name: str):
     ch = int(x.shape[-1] * reduction)
-    x = L.BatchNormalization(name=f"{name}_bn")(x)
+    x = bn()(x)
     x = L.ReLU()(x)
-    x = L.Conv2D(ch, 1, use_bias=False, name=f"{name}_conv")(x)
+    x = conv2d(ch, 1, use_bias=False)(x)
     return L.AveragePooling2D(2)(x)
 
 
-def densenet161_encoder(inp):
-    """DenseNet-161 (growth 48, blocks 6/12/36/24) with BTS skip taps."""
-    x = L.Conv2D(96, 7, strides=2, padding="same", use_bias=False)(inp)
-    x = L.BatchNormalization()(x)
-    skip2 = x  # stride 2
+def densenet_encoder(inp, growth=48, blocks=(6, 12, 36, 24), init_features=96):
+    """DenseNet (default: -161, growth 48, blocks 6/12/36/24) with BTS taps."""
+    x = conv2d(init_features, 7, strides=2, padding="same", use_bias=False)(inp)
+    x = bn()(x)
     x = L.ReLU()(x)
+    skip2 = x  # stride 2 (relu0 — the reference taps AFTER the stem ReLU)
     x = L.MaxPooling2D(3, strides=2, padding="same")(x)
-    skip4 = x  # stride 4
-    x = dense_block(x, 6, 48, "db1")
-    x = transition(x, 0.5, "tr1")
-    skip8 = x  # stride 8
-    x = dense_block(x, 12, 48, "db2")
-    x = transition(x, 0.5, "tr2")
-    skip16 = x  # stride 16
-    x = dense_block(x, 36, 48, "db3")
-    x = transition(x, 0.5, "tr3")
-    x = dense_block(x, 24, 48, "db4")
-    x = L.BatchNormalization()(x)
+    skip4 = x  # stride 4 (pool0)
+    skips = []
+    for i, n in enumerate(blocks):
+        x = dense_block(x, n, growth, f"db{i + 1}")
+        if i < len(blocks) - 1:
+            x = transition(x, 0.5, f"tr{i + 1}")
+            if i < 2:
+                skips.append(x)
+    skip8, skip16 = skips
+    x = bn()(x)
     return skip2, skip4, skip8, skip16, x
 
 
 def atrous(x, ch: int, rate: int, first: bool):
     if not first:
-        x = L.BatchNormalization()(x)
+        x = bn()(x)
     x = L.ReLU()(x)
-    x = L.Conv2D(ch * 2, 1)(x)
-    x = L.BatchNormalization()(x)
+    x = conv2d(ch * 2, 1)(x)
+    x = bn()(x)
     x = L.ReLU()(x)
-    return L.Conv2D(ch, 3, padding="same", dilation_rate=rate)(x)
+    return conv2d(ch, 3, padding="same", dilation_rate=rate)(x)
 
 
 def upconv(x, ch: int):
     x = L.UpSampling2D(2, interpolation="nearest")(x)
-    return L.Conv2D(ch, 3, padding="same", activation="elu")(x)
+    return conv2d(ch, 3, padding="same", activation="elu")(x)
 
 
 def reduction_1x1(x, nf: int, is_final: bool = False):
     while nf >= 4:
         if nf < 8:
-            return L.Conv2D(1 if is_final else 3, 1)(x)
-        x = L.Conv2D(nf, 1, activation="elu")(x)
+            return conv2d(1 if is_final else 3, 1)(x)
+        x = conv2d(nf, 1, activation="elu")(x)
         nf //= 2
     return x
 
@@ -112,18 +131,27 @@ def lpg_tf(raw3, k: int, max_depth: float):
     return tf.reshape(depth, [b, h * k, w * k, 1])
 
 
-def build_bts_tf(height: int, width: int, max_depth: float = 80.0, nf: int = 512):
+def nearest_down(x, f: int):
+    """Nearest 1/f downsample (strided slice) — matches the reference
+    lineage's F.interpolate(mode='nearest') and bts_tpu's ops.resize."""
+    return L.Lambda(lambda t: t[:, ::f, ::f, :])(x)
+
+
+def build_bts_tf(height: int, width: int, max_depth: float = 80.0, nf: int = 512,
+                 growth=48, blocks=(6, 12, 36, 24), init_features=96,
+                 debug_outputs: bool = False):
+    _SEQ[0] = 0
     inp = tf.keras.Input((height, width, 3))
-    skip2, skip4, skip8, skip16, bott = densenet161_encoder(inp)
+    skip2, skip4, skip8, skip16, bott = densenet_encoder(inp, growth, blocks, init_features)
     x = L.ReLU()(bott)
     x = upconv(x, nf)
-    x = L.BatchNormalization()(x)
-    x = L.Conv2D(nf, 3, padding="same", activation="elu")(L.Concatenate()([x, skip16]))
+    x = bn()(x)
+    x = conv2d(nf, 3, padding="same", activation="elu")(L.Concatenate()([x, skip16]))
     x = upconv(x, nf // 2)
-    x = L.BatchNormalization()(x)
+    x = bn()(x)
     c4 = L.Concatenate()([x, skip8])
-    x = L.Conv2D(nf // 2, 3, padding="same", activation="elu")(c4)
-    x = L.BatchNormalization()(x)
+    x = conv2d(nf // 2, 3, padding="same", activation="elu")(c4)
+    x = bn()(x)
     d3 = atrous(x, nf // 4, 3, True)
     c = L.Concatenate()([c4, d3])
     d6 = atrous(c, nf // 4, 6, False)
@@ -133,29 +161,33 @@ def build_bts_tf(height: int, width: int, max_depth: float = 80.0, nf: int = 512
     d18 = atrous(c, nf // 4, 18, False)
     c = L.Concatenate()([c, d18])
     d24 = atrous(c, nf // 4, 24, False)
-    daspp = L.Conv2D(nf // 4, 3, padding="same", activation="elu")(
+    daspp = conv2d(nf // 4, 3, padding="same", activation="elu")(
         L.Concatenate()([x, d3, d6, d12, d18, d24])
     )
     lpg = lambda k: L.Lambda(lambda t: lpg_tf(t, k, max_depth) / max_depth)
     depth8 = lpg(8)(reduction_1x1(daspp, nf // 4))
     x = upconv(daspp, nf // 4)
-    x = L.BatchNormalization()(x)
-    x = L.Conv2D(nf // 4, 3, padding="same", activation="elu")(
-        L.Concatenate()([x, skip4, L.AveragePooling2D(4)(depth8)])
+    x = bn()(x)
+    x = conv2d(nf // 4, 3, padding="same", activation="elu")(
+        L.Concatenate()([x, skip4, nearest_down(depth8, 4)])
     )
     depth4 = lpg(4)(reduction_1x1(x, nf // 8))
     x = upconv(x, nf // 8)
-    x = L.BatchNormalization()(x)
-    x = L.Conv2D(nf // 8, 3, padding="same", activation="elu")(
-        L.Concatenate()([x, skip2, L.AveragePooling2D(2)(depth4)])
+    x = bn()(x)
+    x = conv2d(nf // 8, 3, padding="same", activation="elu")(
+        L.Concatenate()([x, skip2, nearest_down(depth4, 2)])
     )
     depth2 = lpg(2)(reduction_1x1(x, nf // 16))
     x = upconv(x, nf // 16)
     depth1 = L.Activation('sigmoid')(reduction_1x1(x, nf // 32, is_final=True))
-    x = L.Conv2D(nf // 16, 3, padding="same", activation="elu")(
+    x = conv2d(nf // 16, 3, padding="same", activation="elu")(
         L.Concatenate()([x, depth1, depth2, depth4, depth8])
     )
-    out = L.Lambda(lambda t: max_depth * tf.sigmoid(t))(L.Conv2D(1, 3, padding="same")(x))
+    out = L.Lambda(lambda t: max_depth * tf.sigmoid(t))(conv2d(1, 3, padding="same")(x))
+    if debug_outputs:
+        return tf.keras.Model(
+            inp, [skip2, skip4, skip8, skip16, bott, daspp, depth8, depth4, depth2, depth1, out]
+        )
     return tf.keras.Model(inp, out)
 
 
