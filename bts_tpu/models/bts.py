@@ -155,10 +155,11 @@ class BtsModel(nn.Module):
     num_features: int = 512
     dtype: Any = jnp.float32
     use_pallas: str = "auto"
+    remat: bool = False  # rematerialize encoder blocks (large-batch training)
 
     @nn.compact
     def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
-        feats = build_encoder(self.encoder_name, dtype=self.dtype)(
+        feats = build_encoder(self.encoder_name, dtype=self.dtype, remat=self.remat)(
             image.astype(self.dtype), train
         )
         return BtsDecoder(
@@ -178,6 +179,7 @@ def create_model(cfg) -> BtsModel:
         num_features=cfg.bts_size,
         dtype=dtype,
         use_pallas=cfg.use_pallas,
+        remat=cfg.remat,
     )
 
 

@@ -88,11 +88,11 @@ def freeze_prefixes(name: str, num_blocks: int) -> Tuple[str, ...]:
     return tuple(names)
 
 
-def build_encoder(name: str, dtype=jnp.float32):
+def build_encoder(name: str, dtype=jnp.float32, remat: bool = False):
     if name not in ENCODERS:
         raise ValueError(f"unknown encoder {name!r}; choose from {sorted(ENCODERS)}")
     spec = ENCODERS[name]
-    return spec["cls"](dtype=dtype, **spec["kwargs"])
+    return spec["cls"](dtype=dtype, remat=remat, **spec["kwargs"])
 
 
 def encoder_channels(name: str) -> Tuple[int, ...]:

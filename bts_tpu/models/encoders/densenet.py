@@ -71,9 +71,11 @@ class DenseNet(nn.Module):
     block_config: Tuple[int, ...] = (6, 12, 24, 16)
     num_init_features: int = 64
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each dense layer (memory for compute)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        layer_cls = nn.remat(DenseLayer, static_argnums=(2,)) if self.remat else DenseLayer
         feats = []
         x = nn.Conv(
             self.num_init_features, (7, 7), strides=(2, 2), padding="SAME",
@@ -88,7 +90,7 @@ class DenseNet(nn.Module):
         ch = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
             for _ in range(num_layers):
-                x = DenseLayer(self.growth_rate, dtype=self.dtype)(x, train)
+                x = layer_cls(self.growth_rate, dtype=self.dtype)(x, train)
                 ch += self.growth_rate
             if i != len(self.block_config) - 1:
                 ch = ch // 2

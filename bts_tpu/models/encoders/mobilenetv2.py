@@ -78,9 +78,13 @@ _MBV2_CONFIG = (
 
 class MobileNetV2(nn.Module):
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each inverted residual
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = (
+            nn.remat(InvertedResidual, static_argnums=(2,)) if self.remat else InvertedResidual
+        )
         x = nn.Conv(
             32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
@@ -93,7 +97,7 @@ class MobileNetV2(nn.Module):
         for t, c, n, s in _MBV2_CONFIG:
             for i in range(n):
                 stride = s if i == 0 else 1
-                x = InvertedResidual(c, stride=stride, expand=t, dtype=self.dtype)(x, train)
+                x = block_cls(c, stride=stride, expand=t, dtype=self.dtype)(x, train)
             if c in tap_channels:
                 feats.append(x)  # H/2 (16), H/4 (24), H/8 (32), H/16 (96)
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)

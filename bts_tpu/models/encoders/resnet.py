@@ -65,9 +65,11 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each bottleneck (memory for compute)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
         feats = []
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
@@ -85,7 +87,7 @@ class ResNet(nn.Module):
                 inner = self.groups * self.width_per_group * (2**i)
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     out_ch, inner, stride=stride, groups=self.groups, dtype=self.dtype
                 )(x, train)
             feats.append(x)  # strides 4, 8, 16, 32

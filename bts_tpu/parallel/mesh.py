@@ -51,3 +51,24 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with its leading axis sharded over ``data``."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, ...) sharded batch-over-data AND height-over-model.
+
+    Spatial partitioning (a new capability over the reference, whose only
+    axis is DP): GSPMD partitions the conv pyramid over the image height,
+    inserting the halo exchanges itself — full-resolution inference scales
+    past one chip's HBM without any manual communication code.
+    """
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
+    """Batch over ``data``; image/depth height additionally over ``model``."""
+    spatial = spatial_sharding(mesh)
+    data = batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, spatial if getattr(v, "ndim", 0) >= 3 else data)
+        for k, v in batch.items()
+    }

@@ -135,8 +135,14 @@ def _apply_eval(model, cfg, variables, images):
     return model.apply(variables, images, False)
 
 
-def make_eval_step(model, cfg, mesh=None) -> Callable:
-    """Jitted full-res forward for online eval / test drivers."""
+def make_eval_step(model, cfg, mesh=None, spatial: bool = False) -> Callable:
+    """Jitted full-res forward for online eval / test drivers.
+
+    ``spatial=True`` additionally shards image HEIGHT over the mesh's
+    ``model`` axis — GSPMD partitions every conv spatially and inserts the
+    halo exchanges, so one forward spans multiple chips' HBM (useful for
+    resolutions that do not fit a single chip; no reference counterpart).
+    """
 
     def eval_step(params, batch_stats, images):
         images = eval_preprocess(images)
@@ -147,6 +153,11 @@ def make_eval_step(model, cfg, mesh=None) -> Callable:
     if mesh is None:
         return jax.jit(eval_step)
     repl = replicated_sharding(mesh)
+    if spatial:
+        from bts_tpu.parallel.mesh import spatial_sharding
+
+        sp = spatial_sharding(mesh)
+        return jax.jit(eval_step, in_shardings=(repl, repl, sp), out_shardings=sp)
     data = batch_sharding(mesh)
     return jax.jit(eval_step, in_shardings=(repl, repl, data), out_shardings=data)
 
