@@ -1,0 +1,96 @@
+"""End-to-end CLI drive: train -> test -> eval on a tiny synthetic NYU set.
+
+The regression version of the manual verify drive: exercises arg-file
+parsing, the dataloader (native C++ path when available), the jitted
+augment+train step, orbax save/restore, prediction PNG writing, and the
+9-metric eval — all through the public CLI entrypoints.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from bts_tpu.cli.bts_eval import main as eval_main
+from bts_tpu.cli.bts_main import main as train_main
+from bts_tpu.cli.bts_sequence import main as seq_main
+from bts_tpu.cli.bts_test import main as bts_test_cli
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("btscli")
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        d = (rng.uniform(0.5, 9.5, (480, 640)) * 1000).astype(np.uint16)
+        Image.fromarray(img).save(root / "rgb" / f"{i}.png")
+        Image.fromarray(d).save(root / "depth" / f"{i}.png")
+        lines.append(f"rgb/{i}.png depth/{i}.png 518.8579")
+    (root / "split.txt").write_text("\n".join(lines))
+    (root / "args.txt").write_text(
+        "\n".join(
+            [
+                "--mode train",
+                "--model_name cli_test",
+                "--encoder mobilenetv2_bts",
+                "--dataset nyu",
+                f"--data_path {root}",
+                f"--gt_path {root}",
+                f"--filenames_file {root}/split.txt",
+                "--input_height 64",
+                "--input_width 96",
+                "--max_depth 10",
+                "--batch_size 2",
+                "--num_epochs 1",
+                "--bts_size 64",
+                "--compute_dtype float32",
+                "--log_freq 1",
+                "--num_devices 1",
+                "--save_freq 2",
+                f"--log_directory {root}/runs",
+            ]
+        )
+    )
+    return root
+
+
+def test_train_test_eval_chain(fixture_dir, capsys):
+    root = fixture_dir
+    assert train_main([f"@{root}/args.txt"]) == 0
+    ckpt = os.path.join(root, "runs", "cli_test", "ckpt")
+    assert os.path.isdir(ckpt)
+
+    common = [
+        "--dataset", "nyu", "--encoder", "mobilenetv2_bts", "--bts_size", "64",
+        "--max_depth", "10", "--data_path", str(root), "--gt_path", str(root),
+        "--filenames_file", f"{root}/split.txt", "--compute_dtype", "float32",
+    ]
+    assert bts_test_cli(common + ["--checkpoint_path", ckpt, "--out_path", f"{root}/preds"]) == 0
+    preds = os.listdir(f"{root}/preds/raw")
+    assert len(preds) == 4
+    # uint16 PNG round-trip in [0, 10m]
+    arr = np.array(Image.open(f"{root}/preds/raw/{preds[0]}"))
+    assert arr.dtype == np.uint16 and arr.max() <= 10_000
+
+    assert eval_main(common + [
+        "--out_path", f"{root}/preds/raw", "--min_depth_eval", "1e-3",
+        "--max_depth_eval", "10", "--eigen_crop",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "abs_rel" in out
+
+
+def test_sequence_driver(fixture_dir):
+    root = fixture_dir
+    assert seq_main([
+        "--dataset", "nyu", "--encoder", "mobilenetv2_bts", "--bts_size", "64",
+        "--max_depth", "10", "--compute_dtype", "float32", "--batch_size", "2",
+        "--image_path", f"{root}/rgb", "--out_path", f"{root}/seq_out",
+    ]) == 0
+    assert len(os.listdir(f"{root}/seq_out")) == 4
