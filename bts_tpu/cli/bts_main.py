@@ -40,7 +40,14 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
     for i, batch in enumerate(loader.prefetched(num_epochs=1)):
         if max_samples and i >= max_samples:
             break
-        pred = np.asarray(eval_step(state.params, state.batch_stats, jnp.asarray(batch["image"])))[0]
+        pred = np.asarray(
+            eval_step(
+                state.params,
+                state.batch_stats,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["focal"]),
+            )
+        )[0]
         gt = batch["depth"][0]
         pred = np.clip(pred, cfg.min_depth_eval, cfg.max_depth_eval)
         valid = gt > cfg.min_depth_eval

@@ -67,17 +67,24 @@ def main(argv=None):
         for k in ("8x8", "4x4", "2x2"):
             os.makedirs(os.path.join(out_dir, f"lpg_{k}"), exist_ok=True)
 
+    use_focal = cfg.dataset == "kitti"
+
     @jax.jit
-    def forward(params, batch_stats, images):
+    def forward(params, batch_stats, images, focal):
         variables = {"params": params, "batch_stats": batch_stats}
-        return model.apply(variables, eval_preprocess(images), False)
+        return model.apply(
+            variables, eval_preprocess(images), False,
+            focal=focal if use_focal else None,
+        )
 
     state = None
     for i, batch in enumerate(loader.prefetched(num_epochs=1)):
         images = jnp.asarray(batch["image"])
         if state is None:
             state = restore_state(cfg, model, eval_preprocess(images))
-        d8, d4, d2, d1, final = forward(state.params, state.batch_stats, images)
+        d8, d4, d2, d1, final = forward(
+            state.params, state.batch_stats, images, jnp.asarray(batch["focal"])
+        )
         pred = np.asarray(final)[0, :, :, 0]
         name = pred_name(loader.samples[i].image_path, cfg.data_path)
         write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)

@@ -137,7 +137,10 @@ class BtsDecoder(nn.Module):
         logits = ConvBlock(1, act=None, dtype=dt)(iconv1)
         final_depth = self.max_depth * nn.sigmoid(logits.astype(jnp.float32))
         if focal is not None:
-            final_depth = final_depth * (focal.reshape(-1, 1, 1, 1) / KITTI_FOCAL)
+            # scale by focal/715.0873 (KITTI focal normalization, reference
+            # bts.py forward); samples with no focal recorded (0.0) pass through
+            f = focal.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            final_depth = final_depth * jnp.where(f > 0, f / KITTI_FOCAL, 1.0)
         return (
             depth_8x8_scaled.astype(jnp.float32),
             depth_4x4_scaled.astype(jnp.float32),

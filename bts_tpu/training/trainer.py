@@ -59,7 +59,9 @@ def make_train_step(
     with H,W = post-augmentation input_height/width when augment=False, else
     the pre-crop geometry (KB-cropped KITTI / border-cropped NYU).
     """
-    use_focal = cfg.dataset == "kitti" and cfg.use_right  # focal-scale hook
+    # Reference lineage: KITTI's final depth is scaled by focal/715.0873 to
+    # normalize the different focal lengths across drives (bts.py forward)
+    use_focal = cfg.dataset == "kitti"
 
     def loss_fn(params, batch_stats, images, depths, focal, key):
         if augment:
@@ -129,10 +131,14 @@ def make_train_step(
 
 def _apply_eval(model, cfg, variables, images):
     """Eval-mode forward honoring --bn_no_track_stats (batch-stat BN)."""
+    return _apply_eval_focal(model, cfg, variables, images, None)
+
+
+def _apply_eval_focal(model, cfg, variables, images, focal):
     if cfg.bn_no_track_stats:
-        outs, _ = model.apply(variables, images, True, mutable=["batch_stats"])
+        outs, _ = model.apply(variables, images, True, focal=focal, mutable=["batch_stats"])
         return outs
-    return model.apply(variables, images, False)
+    return model.apply(variables, images, False, focal=focal)
 
 
 def make_eval_step(model, cfg, mesh=None, spatial: bool = False) -> Callable:
@@ -144,10 +150,14 @@ def make_eval_step(model, cfg, mesh=None, spatial: bool = False) -> Callable:
     resolutions that do not fit a single chip; no reference counterpart).
     """
 
-    def eval_step(params, batch_stats, images):
+    use_focal = cfg.dataset == "kitti"
+
+    def eval_step(params, batch_stats, images, focal=None):
         images = eval_preprocess(images)
         variables = {"params": params, "batch_stats": batch_stats}
-        *_, final = _apply_eval(model, cfg, variables, images)
+        *_, final = _apply_eval_focal(
+            model, cfg, variables, images, focal if use_focal else None
+        )
         return final[..., 0]
 
     if mesh is None:
