@@ -33,6 +33,9 @@ from bts_tpu.utils.summary import SummaryWriter
 
 def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
     """Reference ``online_eval()``: forward the eval split, 9 metrics."""
+    if not cfg.filenames_file_eval:
+        print("[bts_tpu] --do_online_eval needs --filenames_file_eval; skipping")
+        return None
     loader = BtsDataLoader(cfg, "online_eval")
     from bts_tpu.data.crops import eigen_crop_mask, garg_crop_mask
 
@@ -95,6 +98,12 @@ def main(argv=None):
             print(f"[bts_tpu] resumed from {ckpt_dir} @ step {int(state.step)}")
 
     writer = SummaryWriter(logdir)
+    # reference flag: separate TB directory for eval scalars
+    eval_writer = (
+        SummaryWriter(os.path.join(cfg.eval_summary_directory, cfg.model_name))
+        if cfg.eval_summary_directory
+        else writer
+    )
     t0 = time.time()
     last_t = [t0]
     last_step = [int(state.step)]
@@ -125,7 +134,7 @@ def main(argv=None):
         if cfg.do_online_eval and step % cfg.eval_freq == 0:
             results = online_eval(eval_step, st, cfg)
             if results is not None:
-                writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
+                eval_writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
                 print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
 
     remaining = total_steps - int(state.step)
@@ -139,6 +148,8 @@ def main(argv=None):
     )
     mgr.save(int(state.step), state)
     mgr.wait()
+    if eval_writer is not writer:
+        eval_writer.close()
     writer.close()
     print(f"[bts_tpu] done at step {int(state.step)}")
     return 0

@@ -145,5 +145,9 @@ def parse_args(argv: Optional[List[str]] = None, mode: Optional[str] = None) -> 
     parser = build_parser(mode)
     ns = parser.parse_args(argv)
     cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
-    # Reference behavior: NYU defaults differ (max_depth_eval 10, eigen crop).
+    # Reference eval-crop defaults: garg crop for KITTI, eigen crop for NYU,
+    # applied when neither flag is given and we are evaluating.
+    if cfg.mode in ("eval",) or cfg.do_online_eval:
+        if not cfg.garg_crop and not cfg.eigen_crop:
+            cfg = cfg.replace(garg_crop=cfg.dataset == "kitti", eigen_crop=cfg.dataset == "nyu")
     return cfg

@@ -213,7 +213,8 @@ class BtsDataLoader:
             crop_mode=crop_mode,
             inv_scale=inv_scale,
             with_depth=self.mode != "test",
-            num_threads=self.cfg.dataloader_workers,
+            # reference --num_threads maps onto the native decode pool
+            num_threads=max(self.cfg.dataloader_workers, self.cfg.num_threads),
         )
 
         def gen():

@@ -238,6 +238,8 @@ class Trainer:
     ) -> TrainState:
         from bts_tpu.parallel.mesh import shard_batch
 
+        start_step = int(state.step)  # one sync up front, none in the loop
+
         for i, batch in enumerate(batches):
             if i >= num_steps:
                 break
@@ -252,7 +254,9 @@ class Trainer:
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.train_step(state, batch, self.base_key)
-            step = int(state.step)
+            # host-side step counter: int(state.step) would force a device
+            # sync every iteration and stall the async dispatch pipeline
+            step = start_step + i + 1
             if on_metrics is not None and (step % self.cfg.log_freq == 0 or i == 0):
                 on_metrics(step, jax.device_get(metrics), state)
             if on_save is not None and step % self.cfg.save_freq == 0:

@@ -54,35 +54,3 @@ def convert_depthwise(kernel: np.ndarray) -> np.ndarray:
 def convert_bn(gamma, beta, mean, var) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """TF BN weights -> (flax params, flax batch_stats)."""
     return {"scale": gamma, "bias": beta}, {"mean": mean, "var": var}
-
-
-def assign_flat(flat_params: Dict[str, Any], flat_stats: Dict[str, Any], tf_weights) -> None:
-    """Greedy in-order assignment of TF weights onto flattened flax trees.
-
-    Works when both models enumerate layers in construction order (true for
-    the reference's sequential-style graph and our linen modules).  Keys of
-    ``flat_params``/``flat_stats`` are '/'-joined paths; values are mutated
-    in place.
-    """
-    conv_keys = [k for k in flat_params if k.endswith("kernel")]
-    bn_scale_keys = [k for k in flat_params if k.endswith("scale")]
-    ci = bi = 0
-    for name, ws in tf_weights:
-        if len(ws) == 4 and ws[0].ndim == 1:  # BN: gamma/beta/mean/var
-            base = bn_scale_keys[bi].rsplit("/", 1)[0]
-            p, s = convert_bn(*ws)
-            flat_params[base + "/scale"] = p["scale"]
-            flat_params[base + "/bias"] = p["bias"]
-            skey = [k for k in flat_stats if k.endswith("mean") and base.split("/")[-1] in k]
-            flat_stats[skey[0]] = s["mean"]
-            flat_stats[skey[0].replace("mean", "var")] = s["var"]
-            bi += 1
-        elif ws[0].ndim == 4:  # conv
-            base = conv_keys[ci].rsplit("/", 1)[0]
-            kernel = ws[0]
-            if "depthwise" in name:
-                kernel = convert_depthwise(kernel)
-            flat_params[base + "/kernel"] = kernel
-            if len(ws) > 1:
-                flat_params[base + "/bias"] = ws[1]
-            ci += 1

@@ -24,6 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite compiles the full model dozens of
+# times on a 1-core host; repeat runs hit the cache and finish in minutes.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
