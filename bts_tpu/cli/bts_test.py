@@ -43,7 +43,11 @@ def save_cmap_png(path: str, depth: np.ndarray, max_depth: float) -> None:
 
 
 def restore_state(cfg, model, sample_image):
-    variables = model.init(jax.random.PRNGKey(0), sample_image, False)
+    # jit the init at small spatial dims (params are H/W-independent); an
+    # eager full-res init is minutes of op-by-op dispatch on a TPU tunnel
+    b = sample_image.shape[0]
+    small = jnp.zeros((b, 96, 192, 3), sample_image.dtype)
+    variables = jax.jit(lambda k, x: model.init(k, x, False))(jax.random.PRNGKey(0), small)
     tx = make_optimizer(cfg, 1)
     state = TrainState.create(variables, tx)
     if cfg.checkpoint_path:

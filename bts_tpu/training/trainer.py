@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from bts_tpu.data.augment import augment_batch, eval_preprocess, normalize_image
+from bts_tpu.data.augment import augment_batch, eval_preprocess
 from bts_tpu.ops.silog import default_mask, silog_loss
 from bts_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
@@ -210,11 +210,16 @@ class Trainer:
         self.base_key = jax.random.PRNGKey(0)
 
     def init_state(self, sample_batch, seed: int = 0) -> TrainState:
-        images = jnp.asarray(sample_batch["image"], jnp.float32)[
-            :, : self.cfg.input_height, : self.cfg.input_width
-        ]
-        images = normalize_image(images / 255.0)
-        variables = self.model.init(jax.random.PRNGKey(seed), images, True)
+        # init under jit at reduced spatial dims: conv/BN param shapes are
+        # H/W-independent, and an eager full-geometry init is minutes of
+        # op-by-op dispatch (plus a second full-res XLA compile) on TPU
+        b = sample_batch["image"].shape[0]
+        h = min(self.cfg.input_height, 96)
+        w = min(self.cfg.input_width, 192)
+        images = jnp.zeros((b, h, w, 3), jnp.float32)
+        variables = jax.jit(lambda k, x: self.model.init(k, x, True))(
+            jax.random.PRNGKey(seed), images
+        )
         if self.cfg.pretrained_model:
             from bts_tpu.utils.torch_converter import load_pretrained_encoder
 
