@@ -22,6 +22,39 @@ from bts_tpu.data.depth_io import read_depth_png
 from bts_tpu.evaluation.metrics import METRIC_NAMES, compute_errors
 
 
+def sanitize_pred(pred: np.ndarray, cfg) -> np.ndarray:
+    """Reference NaN/Inf handling: NaN -> min_depth_eval, Inf -> max, clip."""
+    pred = np.where(np.isnan(pred), cfg.min_depth_eval, pred)
+    pred = np.where(np.isinf(pred), cfg.max_depth_eval, pred)
+    return np.clip(pred, cfg.min_depth_eval, cfg.max_depth_eval)
+
+
+def pad_pred_to_gt(pred: np.ndarray, gt_shape, cfg) -> np.ndarray:
+    """Map a KB-cropped prediction back onto the full-resolution GT frame."""
+    if pred.shape == tuple(gt_shape):
+        return pred
+    top, left, h, w = kb_crop_box(gt_shape[0], gt_shape[1])
+    full = np.zeros(gt_shape, pred.dtype)
+    full[top : top + h, left : left + w] = pred
+    return full
+
+
+def masked_errors(gt: np.ndarray, pred: np.ndarray, cfg):
+    """Shared metric core for bts_eval and online eval: sanitize the pred,
+    build the validity mask + garg/eigen crop on the FULL-RES gt, and return
+    the 9 metrics (or None when no pixel is valid)."""
+    pred = sanitize_pred(pred, cfg)
+    valid = (gt > cfg.min_depth_eval) & (gt < cfg.max_depth_eval)
+    hh, ww = gt.shape
+    if cfg.garg_crop:
+        valid &= garg_crop_mask(hh, ww)
+    elif cfg.eigen_crop:
+        valid &= eigen_crop_mask(hh, ww, cfg.dataset)
+    if valid.sum() == 0:
+        return None
+    return compute_errors(gt[valid], pred[valid])
+
+
 def evaluate(cfg) -> np.ndarray:
     samples = parse_filenames_file(cfg.filenames_file, cfg.data_path, cfg.gt_path)
     pred_dir = cfg.image_path or cfg.out_path  # dir of predicted PNGs
@@ -44,22 +77,12 @@ def evaluate(cfg) -> np.ndarray:
                 continue
         gt = read_depth_png(s.depth_path, cfg.dataset)
         pred = read_depth_png(pred_file, cfg.dataset)
-        if cfg.do_kb_crop and gt.shape != pred.shape:
+        if cfg.do_kb_crop:
             # reference maps the 352x1216 prediction back onto full-res GT
-            top, left, h, w = kb_crop_box(gt.shape[0], gt.shape[1])
-            full = np.zeros_like(gt)
-            full[top : top + h, left : left + w] = pred
-            pred = full
-        pred = np.clip(pred, cfg.min_depth_eval, cfg.max_depth_eval)
-        valid = (gt > cfg.min_depth_eval) & (gt < cfg.max_depth_eval)
-        hh, ww = gt.shape
-        if cfg.garg_crop:
-            valid &= garg_crop_mask(hh, ww)
-        elif cfg.eigen_crop:
-            valid &= eigen_crop_mask(hh, ww, cfg.dataset)
-        if valid.sum() == 0:
-            continue
-        accum.append(compute_errors(gt[valid], pred[valid]))
+            pred = pad_pred_to_gt(pred, gt.shape, cfg)
+        errs = masked_errors(gt, pred, cfg)
+        if errs is not None:
+            accum.append(errs)
     if missing:
         print(f"[bts_tpu] WARNING: {missing} predictions missing from {pred_dir}")
     if not accum:

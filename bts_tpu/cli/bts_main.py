@@ -23,7 +23,7 @@ import numpy as np
 
 from bts_tpu.config import Config, parse_args
 from bts_tpu.data.dataloader import BtsDataLoader
-from bts_tpu.evaluation.metrics import METRIC_NAMES, compute_errors
+from bts_tpu.evaluation.metrics import METRIC_NAMES
 from bts_tpu.models import create_model
 from bts_tpu.parallel.mesh import create_mesh, shard_batch
 from bts_tpu.training.trainer import Trainer, make_debug_step, make_eval_step
@@ -32,37 +32,44 @@ from bts_tpu.utils.summary import SummaryWriter
 
 
 def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
-    """Reference ``online_eval()``: forward the eval split, 9 metrics."""
+    """Reference ``online_eval()``: forward the eval split, 9 metrics.
+
+    Evaluates against the FULL-RESOLUTION gt (the KB-cropped prediction is
+    zero-padded back onto it), so the garg/eigen crop selects the same
+    pixels as bts_eval.py and the published protocol — masking the cropped
+    gt directly would shift the evaluated region.
+    """
     if not cfg.filenames_file_eval:
         print("[bts_tpu] --do_online_eval needs --filenames_file_eval; skipping")
         return None
-    loader = BtsDataLoader(cfg, "online_eval")
-    from bts_tpu.data.crops import eigen_crop_mask, garg_crop_mask
+    from PIL import Image
 
+    from bts_tpu.cli.bts_eval import masked_errors, pad_pred_to_gt
+    from bts_tpu.data.dataloader import load_sample, parse_filenames_file
+    from bts_tpu.data.depth_io import depth_from_png
+
+    samples = parse_filenames_file(cfg.filenames_file_eval, cfg.data_path_eval, cfg.gt_path_eval)
     accum = []
-    for i, batch in enumerate(loader.prefetched(num_epochs=1)):
-        if max_samples and i >= max_samples:
-            break
+    for i, s in enumerate(samples):
+        if (max_samples and i >= max_samples) or s.depth_path is None:
+            continue
+        img, _, focal = load_sample(
+            s, cfg.dataset, cfg.do_kb_crop, need_depth=False, border_crop=False
+        )
+        gt = depth_from_png(np.array(Image.open(s.depth_path)), cfg.dataset)
         pred = np.asarray(
             eval_step(
                 state.params,
                 state.batch_stats,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(batch["focal"]),
+                jnp.asarray(img[None]),
+                jnp.full((1,), focal, jnp.float32),
             )
         )[0]
-        gt = batch["depth"][0]
-        pred = np.clip(pred, cfg.min_depth_eval, cfg.max_depth_eval)
-        valid = gt > cfg.min_depth_eval
-        valid &= gt < cfg.max_depth_eval
-        h, w = gt.shape
-        if cfg.garg_crop:
-            valid &= garg_crop_mask(h, w)
-        elif cfg.eigen_crop:
-            valid &= eigen_crop_mask(h, w, cfg.dataset)
-        if valid.sum() == 0:
-            continue
-        accum.append(compute_errors(gt[valid], pred[valid]))
+        if cfg.do_kb_crop:
+            pred = pad_pred_to_gt(pred, gt.shape, cfg)
+        errs = masked_errors(gt, pred, cfg)
+        if errs is not None:
+            accum.append(errs)
     return np.mean(np.stack(accum), axis=0) if accum else None
 
 
@@ -87,15 +94,30 @@ def main(argv=None):
     state = trainer.init_state(first)
 
     logdir = os.path.join(cfg.log_directory or "runs", cfg.model_name)
-    ckpt_dir = cfg.checkpoint_path or os.path.join(logdir, "ckpt")
-    mgr = CheckpointManager(ckpt_dir)
-    if mgr.latest_step() is not None:
-        if cfg.retrain:
-            state = restore_for_retrain(mgr, state)
-            print(f"[bts_tpu] retrain from {ckpt_dir} (step reset)")
-        else:
+    # --retrain restores FROM checkpoint_path but saves into a fresh dir:
+    # orbax's should_save() refuses steps <= the dir's latest, so saving the
+    # reset-to-0 run back into the source dir would silently write nothing.
+    save_dir = os.path.join(logdir, "ckpt")
+    restore_dir = cfg.checkpoint_path or save_dir
+    if cfg.retrain and os.path.abspath(restore_dir) == os.path.abspath(save_dir):
+        raise SystemExit(
+            "--retrain restores weights and resets the step counter; give it a "
+            "--checkpoint_path different from log_directory/model_name/ckpt "
+            "(orbax cannot save step-0 checkpoints over a later run)"
+        )
+    if cfg.retrain:
+        src = CheckpointManager(restore_dir)
+        if src.latest_step() is None:
+            raise SystemExit(f"--retrain: no checkpoint found in {restore_dir}")
+        state = restore_for_retrain(src, state)
+        src.close()
+        print(f"[bts_tpu] retrain from {restore_dir} (step reset)")
+        mgr = CheckpointManager(save_dir)
+    else:
+        mgr = CheckpointManager(restore_dir if cfg.checkpoint_path else save_dir)
+        if mgr.latest_step() is not None:
             state = mgr.restore(state)
-            print(f"[bts_tpu] resumed from {ckpt_dir} @ step {int(state.step)}")
+            print(f"[bts_tpu] resumed @ step {int(state.step)}")
 
     writer = SummaryWriter(logdir)
     # reference flag: separate TB directory for eval scalars
@@ -131,11 +153,14 @@ def main(argv=None):
 
     def on_save(step, st):
         mgr.save(step, st)
-        if cfg.do_online_eval and step % cfg.eval_freq == 0:
-            results = online_eval(eval_step, st, cfg)
-            if results is not None:
-                eval_writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
-                print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
+
+    def on_eval(step, st):
+        if not cfg.do_online_eval:
+            return
+        results = online_eval(eval_step, st, cfg)
+        if results is not None:
+            eval_writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
+            print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
 
     remaining = total_steps - int(state.step)
     state = trainer.run(
@@ -144,6 +169,7 @@ def main(argv=None):
         remaining,
         on_metrics,
         on_save,
+        on_eval,
         profile_dir=os.path.join(logdir, "profile") if cfg.profile else None,
     )
     mgr.save(int(state.step), state)

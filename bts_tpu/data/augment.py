@@ -64,7 +64,12 @@ def rotate_image(img, angle_rad, order: int = 1):
     src_y, src_x = _rotate_coords(h, w, angle_rad)
 
     def sample_channel(ch):
-        return jax.scipy.ndimage.map_coordinates(ch, [src_y, src_x], order=order, mode="nearest")
+        # constant-0 fill outside the source frame (reference PIL rotate
+        # semantics): fabricated edge depths would pass the validity mask
+        # and supervise the loss against geometry that never existed
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [src_y, src_x], order=order, mode="constant", cval=0.0
+        )
 
     out = jax.vmap(sample_channel, in_axes=2, out_axes=2)(img)
     return out[..., 0] if squeeze else out
@@ -120,12 +125,14 @@ def augment_sample(
     do_random_rotate: bool,
 ):
     """The reference's full per-sample train-time augmentation chain."""
-    k_rot, k_crop, k_flip, k_color = jax.random.split(key, 4)
+    k_rot, k_crop, k_flip, k_gate, k_color = jax.random.split(key, 5)
     if do_random_rotate:
         img, depth = random_rotate(img, depth, k_rot, degree)
     img, depth = random_crop(img, depth, k_crop, out_h, out_w)
     img, depth = random_flip(img, depth, k_flip)
-    img = random_color(img, k_color, dataset)
+    # reference applies the photometric jitter with p=0.5 (do_augment gate)
+    jittered = random_color(img, k_color, dataset)
+    img = jnp.where(jax.random.bernoulli(k_gate), jittered, jnp.clip(img, 0.0, 1.0))
     img = normalize_image(img)
     return img, depth
 

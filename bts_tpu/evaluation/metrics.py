@@ -20,7 +20,6 @@ eval under jit, mask-weighted so shapes stay static for XLA).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 METRIC_NAMES = (
@@ -64,6 +63,8 @@ def compute_errors_jnp(gt, pred, mask):
     ``mask`` is a boolean array; invalid pixels contribute zero weight.  The
     formulas match :func:`compute_errors` on the masked subset.
     """
+    import jax.numpy as jnp  # lazy: keeps the numpy-only eval driver jax-free
+
     mask = mask.astype(jnp.float32)
     n = jnp.maximum(mask.sum(), 1.0)
     # Guard invalid entries so log/division stay finite under the mask.
@@ -86,7 +87,8 @@ def compute_errors_jnp(gt, pred, mask):
     sq_rel = mmean((safe_gt - safe_pred) ** 2 / safe_gt)
 
     err = jnp.log(safe_pred) - jnp.log(safe_gt)
-    silog = jnp.sqrt(mmean(err**2) - mmean(err) ** 2) * 100.0
+    # clamp: f32 cancellation can push the variance term slightly negative
+    silog = jnp.sqrt(jnp.maximum(mmean(err**2) - mmean(err) ** 2, 0.0)) * 100.0
 
     log10 = mmean(jnp.abs(jnp.log10(safe_pred) - jnp.log10(safe_gt)))
     return jnp.stack([silog, abs_rel, log10, rms, sq_rel, log_rms, d1, d2, d3])

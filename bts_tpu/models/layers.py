@@ -122,12 +122,11 @@ class Reduction1x1(nn.Module):
     - ``is_final``: 1 channel + sigmoid (direct scaled depth), or
     - 3 channels interpreted as spherical plane params
       (theta<=pi/3, phi<=2pi, dist<=max_depth) -> unit normal (n1,n2,n3)
-      and distance n4. The spherical transform itself lives in
-      bts_tpu.ops.lpg.plane_from_spherical so the Pallas kernel can fuse it.
+      and distance n4 via bts_tpu.ops.lpg.plane_from_spherical.
 
-    Returns raw head output; the caller applies the transform (this keeps the
-    head a pure matmul chain the MXU loves, and lets the fused Pallas LPG
-    consume the raw 3-channel tensor directly).
+    Returns raw head output; the caller applies the transform (keeps the
+    head a pure matmul chain, and XLA fuses the elementwise transform into
+    the producing conv).
     """
 
     num_filters: int

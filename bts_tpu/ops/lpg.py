@@ -15,9 +15,11 @@ it as tile/reshape TF ops (its "fully TF" headline, SURVEY.md §2.9).  Here:
 
 - :func:`lpg_reference` — straight-line jnp broadcast version (XLA fuses it
   into neighboring elementwise work; also the unit-test oracle).
-- :mod:`bts_tpu.ops.lpg_pallas` — fused Pallas TPU kernel (fwd + custom VJP)
-  that also folds in the spherical-parameter transform of the
-  ``reduction_1x1`` head so plane tensors never round-trip HBM.
+- :mod:`bts_tpu.ops.lpg_pallas` — Pallas TPU kernel (fwd + custom VJP) that
+  writes the interleaved full-res layout directly from VMEM.  It consumes
+  the already-transformed (n1..n4) plane tensor; the spherical transform
+  itself (:func:`plane_from_spherical`) stays in XLA, which fuses it into
+  the producing 1x1 conv.
 - :func:`local_planar_guidance` — dispatcher (config ``use_pallas``).
 
 The division is always computed in f32: with bf16 plane params the
@@ -63,18 +65,16 @@ def plane_from_spherical(raw3: jnp.ndarray, max_depth: float) -> jnp.ndarray:
         dist  = sigmoid(x2) * max_depth     (plane distance n4)
         n1, n2, n3 = sin t cos p, sin t sin p, cos t
     """
+    import jax.nn
+
     x = raw3.astype(jnp.float32)
-    theta = jax_sigmoid(x[..., 0]) * (jnp.pi / 3)
-    phi = jax_sigmoid(x[..., 1]) * (jnp.pi * 2)
-    dist = jax_sigmoid(x[..., 2]) * max_depth
+    theta = jax.nn.sigmoid(x[..., 0]) * (jnp.pi / 3)
+    phi = jax.nn.sigmoid(x[..., 1]) * (jnp.pi * 2)
+    dist = jax.nn.sigmoid(x[..., 2]) * max_depth
     n1 = jnp.sin(theta) * jnp.cos(phi)
     n2 = jnp.sin(theta) * jnp.sin(phi)
     n3 = jnp.cos(theta)
     return jnp.stack([n1, n2, n3, dist], axis=-1)
-
-
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def local_planar_guidance(plane_eq: jnp.ndarray, k: int, use_pallas: str = "auto") -> jnp.ndarray:

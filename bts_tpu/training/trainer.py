@@ -239,6 +239,7 @@ class Trainer:
         num_steps: int,
         on_metrics: Optional[Callable] = None,
         on_save: Optional[Callable] = None,
+        on_eval: Optional[Callable] = None,
         profile_dir: Optional[str] = None,
     ) -> TrainState:
         from bts_tpu.parallel.mesh import shard_batch
@@ -266,4 +267,8 @@ class Trainer:
                 on_metrics(step, jax.device_get(metrics), state)
             if on_save is not None and step % self.cfg.save_freq == 0:
                 on_save(step, state)
+            # independent cadence (the reference evaluates every eval_freq
+            # steps, not only on checkpoint steps)
+            if on_eval is not None and step % self.cfg.eval_freq == 0:
+                on_eval(step, state)
         return state

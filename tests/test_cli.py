@@ -94,3 +94,33 @@ def test_sequence_driver(fixture_dir):
         "--image_path", f"{root}/rgb", "--out_path", f"{root}/seq_out",
     ]) == 0
     assert len(os.listdir(f"{root}/seq_out")) == 4
+
+
+def test_retrain_same_dir_rejected(fixture_dir):
+    root = fixture_dir
+    ckpt = os.path.join(root, "runs", "cli_test", "ckpt")
+    with pytest.raises(SystemExit, match="retrain"):
+        train_main([f"@{root}/args.txt", "--retrain", "--checkpoint_path", ckpt])
+
+
+def test_retrain_fresh_dir_and_online_eval(fixture_dir, capsys):
+    """--retrain restores weights into a NEW save dir (orbax refuses step<=latest
+    saves in the source dir) and online eval runs on the eval_freq cadence."""
+    root = fixture_dir
+    src_ckpt = os.path.join(root, "runs", "cli_test", "ckpt")
+    assert train_main([
+        f"@{root}/args.txt",
+        "--model_name", "cli_retrain",
+        "--retrain", "--checkpoint_path", src_ckpt,
+        "--do_online_eval", "--eval_freq", "2",
+        "--data_path_eval", str(root), "--gt_path_eval", str(root),
+        "--filenames_file_eval", f"{root}/split.txt",
+        "--min_depth_eval", "1e-3", "--max_depth_eval", "10",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "retrain from" in out
+    assert "eval: silog=" in out
+    new_ckpt = os.path.join(root, "runs", "cli_retrain", "ckpt")
+    # the retrain run actually persisted checkpoints (orbax should_save no-op bug)
+    steps = [d for d in os.listdir(new_ckpt) if d.isdigit()]
+    assert steps, f"no checkpoints written to {new_ckpt}"
