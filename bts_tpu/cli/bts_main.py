@@ -75,7 +75,10 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="train")
-    print(f"[bts_tpu] devices: {jax.devices()}")
+    from bts_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+    print(f"[bts_tpu] devices: {jax.devices()} ({jax.process_count()} hosts)")
     mesh = create_mesh(cfg.num_devices)
     n_data = mesh.shape["data"]
     if cfg.batch_size % n_data != 0:

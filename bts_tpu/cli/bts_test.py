@@ -36,9 +36,16 @@ def pred_name(image_path: str, data_path: str) -> str:
 
 
 def save_cmap_png(path: str, depth: np.ndarray, max_depth: float) -> None:
-    """8-bit grayscale preview (the reference uses a matplotlib cmap; a
-    colormap-free normalized preview keeps matplotlib off the hot path)."""
-    img = np.clip(depth / max_depth * 255.0, 0, 255).astype(np.uint8)
+    """Colormapped preview (reference bts_test.py uses a matplotlib cmap on
+    normalized depth); falls back to grayscale without matplotlib."""
+    norm = np.clip(depth / max_depth, 0.0, 1.0)
+    try:
+        from matplotlib import colormaps
+
+        rgba = colormaps["magma"](norm)
+        img = (rgba[..., :3] * 255).astype(np.uint8)
+    except Exception:
+        img = (norm * 255).astype(np.uint8)
     Image.fromarray(img).save(path)
 
 

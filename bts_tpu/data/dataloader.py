@@ -126,6 +126,26 @@ class BtsDataLoader:
             fn, dp, gp = cfg.filenames_file, cfg.data_path, cfg.gt_path
         self.samples = parse_filenames_file(fn, dp, gp, cfg.use_right and mode == "train")
         self.batch_size = cfg.batch_size if mode == "train" else 1
+        # multi-host DP: every host shuffles with the same seed (identical
+        # global order) and loads only its contiguous slice of each global
+        # batch; parallel.mesh.shard_batch reassembles the global array
+        self.process_index, self.process_count = 0, 1
+        if mode == "train":
+            try:
+                import jax
+
+                self.process_index = jax.process_index()
+                self.process_count = jax.process_count()
+            except Exception:
+                pass
+            if self.batch_size % self.process_count != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by "
+                    f"{self.process_count} hosts"
+                )
+            self.local_batch = self.batch_size // self.process_count
+        else:
+            self.local_batch = self.batch_size
         self.rng = np.random.default_rng(0)
 
     def __len__(self):
@@ -162,6 +182,9 @@ class BtsDataLoader:
             usable = len(order) - (len(order) % self.batch_size) if self.mode == "train" else len(order)
             for start in range(0, usable, self.batch_size):
                 chunk = order[start : start + self.batch_size]
+                if self.process_count > 1:
+                    lo = self.process_index * self.local_batch
+                    chunk = chunk[lo : lo + self.local_batch]
                 loaded = [self._load(self.samples[i]) for i in chunk]
                 batch = {
                     "image": np.stack([x[0] for x in loaded]),
@@ -207,7 +230,7 @@ class BtsDataLoader:
             [s.image_path for s in self.samples],
             [s.depth_path for s in self.samples],
             [s.focal for s in self.samples],
-            batch=self.batch_size,
+            batch=self.local_batch,
             height=h,
             width=w,
             crop_mode=crop_mode,
@@ -221,7 +244,17 @@ class BtsDataLoader:
             try:
                 epoch = 0
                 while num_epochs is None or epoch < num_epochs:
-                    loader.start_epoch(np.asarray(self._epoch_order(), np.int32))
+                    order = np.asarray(self._epoch_order(), np.int32)
+                    if self.process_count > 1:
+                        # this host's contiguous slice of each global batch
+                        usable = len(order) - (len(order) % self.batch_size)
+                        lo = self.process_index * self.local_batch
+                        order = (
+                            order[:usable]
+                            .reshape(-1, self.batch_size)[:, lo : lo + self.local_batch]
+                            .reshape(-1)
+                        )
+                    loader.start_epoch(order)
                     yield from loader
                     epoch += 1
                     if self.mode != "train":

@@ -27,6 +27,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host (multi-slice) runs.
+
+    TPU pods launch one process per host; JAX's coordinator discovers the
+    fleet from the TPU runtime (or JAX_COORDINATOR_ADDRESS/NUM_PROCESSES
+    env). Safe no-op on single-host. After this, jax.devices() spans all
+    hosts and the data axis of :func:`create_mesh` rides ICI within a slice
+    and DCN across slices (device order is ICI-major).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        try:
+            jax.distributed.initialize()
+            return True
+        except Exception as e:  # pragma: no cover - env-specific
+            print(f"[bts_tpu] jax.distributed.initialize failed: {e}")
+    return False
+
+
 def create_mesh(num_devices: int = -1, model_axis: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     """1-D (data) or 2-D (data, model) mesh over the visible devices."""
     devs = list(devices if devices is not None else jax.devices())
@@ -48,9 +70,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with its leading axis sharded over ``data``."""
+    """Device-put a host batch with its leading axis sharded over ``data``.
+
+    Multi-host: the loader yields each process's LOCAL slice of the global
+    batch (BtsDataLoader shards samples by process_index); the global array
+    is assembled from per-process shards without any cross-host transfer.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
