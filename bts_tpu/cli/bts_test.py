@@ -88,14 +88,9 @@ def main(argv=None):
             focal=focal if use_focal else None,
         )
 
-    state = None
-    for i, batch in enumerate(loader.prefetched(num_epochs=1)):
-        images = jnp.asarray(batch["image"])
-        if state is None:
-            state = restore_state(cfg, model, eval_preprocess(images))
-        d8, d4, d2, d1, final = forward(
-            state.params, state.batch_stats, images, jnp.asarray(batch["focal"])
-        )
+    def write_outputs(i, outs):
+        """Host-side conversion + PNG writes for one completed forward."""
+        d8, d4, d2, d1, final = outs
         pred = np.asarray(final)[0, :, :, 0]
         name = pred_name(loader.samples[i].image_path, cfg.data_path)
         write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
@@ -107,6 +102,21 @@ def main(argv=None):
                 write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
         if (i + 1) % 50 == 0:
             print(f"[bts_tpu] {i + 1}/{len(loader)}", flush=True)
+
+    # one-deep software pipeline: dispatch forward i+1 (async) before
+    # converting/writing the PNGs of forward i, so the device computes while
+    # the host encodes
+    state, pending = None, None
+    for i, batch in enumerate(loader.prefetched(num_epochs=1)):
+        images = jnp.asarray(batch["image"])
+        if state is None:
+            state = restore_state(cfg, model, eval_preprocess(images))
+        outs = forward(state.params, state.batch_stats, images, jnp.asarray(batch["focal"]))
+        if pending is not None:
+            write_outputs(*pending)
+        pending = (i, outs)
+    if pending is not None:
+        write_outputs(*pending)
     print(f"[bts_tpu] wrote {len(loader)} predictions to {out_dir}")
     return 0
 

@@ -110,3 +110,76 @@ def test_eval_preprocess_matches_normalize(rng):
     out = eval_preprocess(jnp.array(images))
     ref = normalize_image(jnp.array(images, jnp.float32) / 255.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rotation_fills_zero_outside_frame():
+    """Out-of-frame pixels after rotation must be 0 (masked by gt>thresh),
+    not edge-replicated depths that would supervise the loss."""
+    import jax.numpy as jnp
+
+    from bts_tpu.data.augment import rotate_image
+
+    depth = jnp.ones((32, 64), jnp.float32) * 5.0
+    out = np.asarray(rotate_image(depth, jnp.asarray(0.3), order=0))  # ~17 deg
+    # corners rotate out of frame -> filled with 0
+    assert (out == 0).sum() > 0
+    assert out.min() == 0.0
+    # interior stays 5.0
+    assert out[16, 32] == 5.0
+
+
+def test_color_jitter_gated_at_half_probability(rng):
+    """Reference applies photometric jitter with p=0.5 per sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from bts_tpu.data.augment import augment_batch
+
+    n = 256
+    imgs = jnp.ones((n, 16, 24, 3), jnp.float32) * 0.5
+    depths = jnp.ones((n, 16, 24), jnp.float32)
+    out, _ = augment_batch(
+        imgs, depths, jax.random.PRNGKey(0), out_h=16, out_w=24,
+        dataset="nyu", degree=0.0, do_random_rotate=False,
+    )
+    # un-normalize: images that exactly match the clean value were not jittered
+    from bts_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+    restored = np.asarray(out) * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+    clean = np.abs(restored - 0.5).max(axis=(1, 2, 3)) < 1e-6
+    frac = clean.mean()
+    assert 0.35 < frac < 0.65, f"clean fraction {frac} not ~0.5"
+
+
+def test_multihost_sample_sharding(tmp_path, rng):
+    """Each host must load a disjoint contiguous slice of every global batch
+    (identical seeded shuffle across hosts)."""
+    from bts_tpu.config import Config
+    from bts_tpu.data.dataloader import BtsDataLoader
+
+    # 8 samples, global batch 4, simulate 2 hosts
+    imgs = []
+    for i in range(8):
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)).save(p)
+        imgs.append(f"{i}.png None {500.0 + i}")
+    split = tmp_path / "s.txt"
+    split.write_text("\n".join(imgs))
+    cfg = Config(dataset="nyu", data_path=str(tmp_path), gt_path=str(tmp_path),
+                 filenames_file=str(split), batch_size=4, use_native_loader="never")
+
+    def collect(pi, pc):
+        loader = BtsDataLoader(cfg, "train")
+        loader.process_index, loader.process_count = pi, pc
+        loader.local_batch = cfg.batch_size // pc
+        out = []
+        for b in loader.batches(num_epochs=1):
+            out.append(b["focal"].copy())
+        return out
+
+    full = collect(0, 1)
+    h0 = collect(0, 2)
+    h1 = collect(1, 2)
+    assert len(full) == 2 and len(h0) == 2 and len(h1) == 2
+    for gb, a, b in zip(full, h0, h1):
+        np.testing.assert_array_equal(np.concatenate([a, b]), gb)
