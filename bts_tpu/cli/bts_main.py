@@ -75,6 +75,10 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="train")
+    if cfg.debug_nans:
+        # the race-detector/sanitizer analog (SURVEY.md §5): every jitted
+        # program re-checks outputs and fails fast at the producing op
+        jax.config.update("jax_debug_nans", True)
     from bts_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()

@@ -81,6 +81,7 @@ class Config:
     save_cmap: bool = False
     # -- tpu-native knobs (new; no reference counterpart)
     profile: bool = False  # jax.profiler trace of steps 10..15 into log dir
+    debug_nans: bool = False  # jax_debug_nans: fail fast on NaN (sanitizer)
     remat: bool = False  # rematerialize encoder blocks (fit larger batches)
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never

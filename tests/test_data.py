@@ -183,3 +183,22 @@ def test_multihost_sample_sharding(tmp_path, rng):
     assert len(full) == 2 and len(h0) == 2 and len(h1) == 2
     for gb, a, b in zip(full, h0, h1):
         np.testing.assert_array_equal(np.concatenate([a, b]), gb)
+
+
+def test_augmentation_prng_determinism(rng):
+    """Same (seed, step) key -> bitwise identical augmented batch; a
+    different key -> different batch (SURVEY.md §4 determinism tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bts_tpu.data.augment import augment_batch
+
+    imgs = jnp.asarray(rng.integers(0, 255, (4, 24, 32, 3), dtype=np.uint8))
+    depths = jnp.asarray(rng.uniform(0.2, 9.0, (4, 24, 32)).astype(np.float32))
+    kw = dict(out_h=16, out_w=24, dataset="nyu", degree=2.5, do_random_rotate=True)
+    a1, d1 = augment_batch(imgs, depths, jax.random.PRNGKey(7), **kw)
+    a2, d2 = augment_batch(imgs, depths, jax.random.PRNGKey(7), **kw)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    a3, _ = augment_batch(imgs, depths, jax.random.PRNGKey(8), **kw)
+    assert np.abs(np.asarray(a1) - np.asarray(a3)).max() > 0
