@@ -70,7 +70,19 @@ def main(argv=None):
     )
     t.start()
 
-    state, n = None, 0
+    state, n, pending = None, 0, None
+
+    def flush(preds_dev, names):
+        nonlocal n
+        preds = np.asarray(preds_dev)
+        for j, name in enumerate(names):
+            write_depth_png(os.path.join(out_dir, name + ".png"), preds[j], cfg.dataset)
+            n += 1
+        if n % 100 < batch:
+            print(f"[bts_tpu] {n}/{len(files)} frames", flush=True)
+
+    # one-deep pipeline: dispatch the next batch's forward before converting
+    # and encoding the previous batch's PNGs (device/host overlap)
     while True:
         item = q.get()
         if item is None:
@@ -79,12 +91,12 @@ def main(argv=None):
         ji = jnp.asarray(images)
         if state is None:
             state = restore_state(cfg, model, eval_preprocess(ji))
-        preds = np.asarray(forward(state.params, state.batch_stats, ji))
-        for j, name in enumerate(names):
-            write_depth_png(os.path.join(out_dir, name + ".png"), preds[j], cfg.dataset)
-            n += 1
-        if n % 100 < batch:
-            print(f"[bts_tpu] {n}/{len(files)} frames", flush=True)
+        preds_dev = forward(state.params, state.batch_stats, ji)
+        if pending is not None:
+            flush(*pending)
+        pending = (preds_dev, names)
+    if pending is not None:
+        flush(*pending)
     print(f"[bts_tpu] wrote {n} depth frames to {out_dir}")
     return 0
 
