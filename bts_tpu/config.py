@@ -29,7 +29,6 @@ class Config:
     encoder: str = "densenet161_bts"
     bts_size: int = 512  # decoder num_features
     max_depth: float = 80.0
-    min_depth: float = 1e-3
     # -- data
     dataset: str = "kitti"  # kitti | nyu
     data_path: str = ""
@@ -87,7 +86,7 @@ class Config:
     use_pallas: str = "auto"  # auto | always | never
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     dataloader_workers: int = 2
-    shuffle_buffer: int = 1024
+    seed: int = 0  # base seed for init, dropout/augment PRNG, loader shuffle
 
     @property
     def end_lr(self) -> float:

@@ -48,9 +48,10 @@ def parse_filenames_file(path: str, data_path: str = "", gt_path: str = "", use_
 
     KITTI eigen lines look like
     ``2011_.../image_02/data/0000000069.png 2011_.../proj_depth/groundtruth/image_02/0000000069.png 721.5377``;
-    ``use_right`` swaps image_02 -> image_03 (right camera) as the reference's
-    ``--use_right`` does (at parse time; the reference samples it randomly,
-    we expose both deterministic variants).
+    ``use_right`` swaps image_02 -> image_03 (right camera).  The training
+    loader implements the reference's ``--use_right`` semantics (random
+    per-sample camera choice) by parsing both variants and picking one per
+    sample per epoch under the loader RNG — see BtsDataLoader._epoch_order.
     """
     samples = []
     with open(path) as f:
@@ -124,7 +125,15 @@ class BtsDataLoader:
             fn, dp, gp = cfg.filenames_file_eval, cfg.data_path_eval, cfg.gt_path_eval
         else:
             fn, dp, gp = cfg.filenames_file, cfg.data_path, cfg.gt_path
-        self.samples = parse_filenames_file(fn, dp, gp, cfg.use_right and mode == "train")
+        self.samples = parse_filenames_file(fn, dp, gp)
+        self.n_base = len(self.samples)
+        # Reference --use_right: the right KITTI camera is chosen randomly
+        # per sample at train time (SURVEY.md §2.10), not swapped globally.
+        # Both variants live in one table (left: [0, n), right: [n, 2n)) so
+        # the fixed-path native loader supports the random choice too.
+        self.use_right = bool(cfg.use_right) and mode == "train"
+        if self.use_right:
+            self.samples = self.samples + parse_filenames_file(fn, dp, gp, use_right=True)
         self.batch_size = cfg.batch_size if mode == "train" else 1
         # multi-host DP: every host shuffles with the same seed (identical
         # global order) and loads only its contiguous slice of each global
@@ -146,13 +155,13 @@ class BtsDataLoader:
             self.local_batch = self.batch_size // self.process_count
         else:
             self.local_batch = self.batch_size
-        self.rng = np.random.default_rng(0)
+        self.rng = np.random.default_rng(cfg.seed)
 
     def __len__(self):
-        return len(self.samples)
+        return self.n_base
 
     def steps_per_epoch(self) -> int:
-        return max(1, len(self.samples) // self.batch_size)
+        return max(1, self.n_base // self.batch_size)
 
     def _load(self, sample: Sample):
         need_depth = self.mode != "test"
@@ -168,9 +177,12 @@ class BtsDataLoader:
         return img, depth, focal
 
     def _epoch_order(self) -> List[int]:
-        idx = np.arange(len(self.samples))
+        idx = np.arange(self.n_base)
         if self.mode == "train":
             self.rng.shuffle(idx)
+            if self.use_right:
+                # random per-sample left/right camera (reference semantics)
+                idx = idx + self.n_base * self.rng.integers(0, 2, size=idx.shape)
         return list(idx)
 
     def batches(self, num_epochs: Optional[int] = None) -> Iterator[dict]:

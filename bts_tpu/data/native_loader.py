@@ -164,6 +164,7 @@ class NativeBatchLoader:
         self.with_depth = with_depth
         self.num_threads = num_threads
         self._n_batches = 0
+        self._errors_seen = 0
 
     def start_epoch(self, order: np.ndarray) -> None:
         order = np.ascontiguousarray(order, np.int32)
@@ -190,6 +191,18 @@ class NativeBatchLoader:
             )
             if rc != 0:
                 return
+            # Decode failures zero-fill the affected sample's buffers; a
+            # framework must never silently train on black frames, so any
+            # new failure since the last batch is fatal (tf.data, the
+            # reference's input plane, likewise errors out on bad decodes).
+            err = self.errors()
+            if err != self._errors_seen:
+                n_new = err - self._errors_seen
+                self._errors_seen = err
+                raise RuntimeError(
+                    f"native loader: {n_new} decode failure(s) (corrupt or "
+                    f"missing input files; {err} total this loader)"
+                )
             out = {"image": images, "focal": focals}
             if depths is not None:
                 out["depth"] = depths

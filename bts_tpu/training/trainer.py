@@ -207,9 +207,13 @@ class Trainer:
 
         self.tx = make_optimizer(cfg, total_steps)
         self.train_step = make_train_step(model, self.tx, cfg, mesh, augment)
-        self.base_key = jax.random.PRNGKey(0)
+        # --seed: base key for the per-step augment/dropout PRNG (fold_in of
+        # the step index keeps it reproducible regardless of host timing)
+        self.base_key = jax.random.PRNGKey(cfg.seed)
 
-    def init_state(self, sample_batch, seed: int = 0) -> TrainState:
+    def init_state(self, sample_batch, seed: Optional[int] = None) -> TrainState:
+        if seed is None:
+            seed = self.cfg.seed
         # init under jit at reduced spatial dims: conv/BN param shapes are
         # H/W-independent, and an eager full-geometry init is minutes of
         # op-by-op dispatch (plus a second full-res XLA compile) on TPU

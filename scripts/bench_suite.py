@@ -140,13 +140,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args()
-    results = []
+    path = os.path.join(REPO, "BENCH_SUITE.json")
+    # Merge with any previously measured configs so partial --configs runs
+    # never clobber the suite file (driver-facing measurements must merge).
+    merged: dict[int, dict] = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                for r in json.load(f):
+                    merged[int(r["config"])] = r
+        except (json.JSONDecodeError, KeyError, ValueError):
+            pass
     for c in [int(x) for x in args.configs.split(",")]:
         r = run_config(c)
         print(json.dumps(r), flush=True)
-        results.append(r)
-    with open(os.path.join(REPO, "BENCH_SUITE.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        merged[c] = r
+    with open(path, "w") as f:
+        json.dump([merged[c] for c in sorted(merged)], f, indent=1)
 
 
 if __name__ == "__main__":

@@ -202,3 +202,95 @@ def test_augmentation_prng_determinism(rng):
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     a3, _ = augment_batch(imgs, depths, jax.random.PRNGKey(8), **kw)
     assert np.abs(np.asarray(a1) - np.asarray(a3)).max() > 0
+
+
+def _make_kitti_stereo_dataset(root, n=6, h=96, w=128):
+    """KITTI-style split with image_02 (left) and image_03 (right) trees.
+
+    Left frames are all-10 pixels, right frames all-200, so a loaded batch
+    reveals which camera each sample came from.
+    """
+    for cam, val in (("image_02", 10), ("image_03", 200)):
+        os.makedirs(os.path.join(root, "drive", cam, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "drive", "proj_depth", "groundtruth", cam), exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        for cam, val in (("image_02", 10), ("image_03", 200)):
+            img = np.full((h, w, 3), val, np.uint8)
+            depth = rng.uniform(1.5, 60.0, size=(h, w)).astype(np.float32)
+            Image.fromarray(img).save(os.path.join(root, "drive", cam, "data", f"{i}.png"))
+            Image.fromarray(depth_to_png(depth, "kitti")).save(
+                os.path.join(root, "drive", "proj_depth", "groundtruth", cam, f"{i}.png"))
+        lines.append(
+            f"drive/image_02/data/{i}.png drive/proj_depth/groundtruth/image_02/{i}.png 721.5377\n")
+    split = os.path.join(root, "split.txt")
+    with open(split, "w") as f:
+        f.writelines(lines)
+    return split
+
+
+def test_use_right_random_per_sample(tmp_path):
+    """Reference --use_right semantics (SURVEY.md §2.10): the right camera is
+    chosen randomly per sample per epoch — both cameras appear within one
+    epoch under a fixed seed, and each base sample appears exactly once."""
+    split = _make_kitti_stereo_dataset(str(tmp_path))
+    cfg = Config(dataset="kitti", data_path=str(tmp_path), gt_path=str(tmp_path),
+                 filenames_file=split, batch_size=2, do_kb_crop=False,
+                 use_right=True, use_native_loader="never", seed=3)
+    loader = BtsDataLoader(cfg, "train")
+    assert len(loader) == 6 and loader.steps_per_epoch() == 3
+    order = loader._epoch_order()
+    assert sorted(i % loader.n_base for i in order) == list(range(6))
+    cams = set()
+    for b in loader.batches(num_epochs=1):
+        for img in b["image"]:
+            cams.add(int(img[0, 0, 0]))
+    assert cams == {10, 200}, f"expected both cameras in one epoch, saw {cams}"
+    # non-train modes never swap cameras
+    cfg_eval = cfg.replace(filenames_file_eval=split, data_path_eval=str(tmp_path),
+                           gt_path_eval=str(tmp_path))
+    ev = BtsDataLoader(cfg_eval, "online_eval")
+    assert len(ev.samples) == ev.n_base == 6
+    assert all(int(b["image"][0, 0, 0, 0]) == 10 for b in ev.batches())
+
+
+def test_seed_controls_shuffle_and_camera_choice(tmp_path):
+    split = _make_kitti_stereo_dataset(str(tmp_path))
+    base = dict(dataset="kitti", data_path=str(tmp_path), gt_path=str(tmp_path),
+                filenames_file=split, batch_size=2, use_right=True,
+                use_native_loader="never")
+    o1 = BtsDataLoader(Config(**base, seed=0), "train")._epoch_order()
+    o2 = BtsDataLoader(Config(**base, seed=0), "train")._epoch_order()
+    o3 = BtsDataLoader(Config(**base, seed=1), "train")._epoch_order()
+    assert o1 == o2
+    assert o1 != o3
+
+
+def test_native_loader_raises_on_decode_failure(tmp_path):
+    import pytest
+
+    from bts_tpu.data import native_loader as nl
+    if not nl.available():
+        pytest.skip("native loader unavailable")
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "img"))
+    os.makedirs(os.path.join(root, "gt"))
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(2):
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        d = rng.uniform(0.5, 9.5, (480, 640)).astype(np.float32)
+        Image.fromarray(img).save(os.path.join(root, "img", f"{i}.png"))
+        Image.fromarray(depth_to_png(d, "nyu")).save(os.path.join(root, "gt", f"{i}.png"))
+        lines.append(f"img/{i}.png gt/{i}.png 518.8579\n")
+    with open(os.path.join(root, "img", "1.png"), "wb") as f:
+        f.write(b"not a png at all")
+    split = os.path.join(root, "split.txt")
+    with open(split, "w") as f:
+        f.writelines(lines)
+    cfg = Config(dataset="nyu", data_path=root, gt_path=root, filenames_file=split,
+                 batch_size=2, use_native_loader="always")
+    loader = BtsDataLoader(cfg, "train")
+    with pytest.raises(RuntimeError, match="decode failure"):
+        list(loader.prefetched(num_epochs=1))
