@@ -44,8 +44,7 @@ import jax.numpy as jnp
 
 from bts_tpu.models.encoders import build_encoder, encoder_channels
 from bts_tpu.models.layers import AtrousConv, BatchNorm, ConvBlock, Reduction1x1, UpConv
-from bts_tpu.ops.lpg import local_planar_guidance, plane_from_spherical
-from bts_tpu.ops.resize import downsample_nearest
+from bts_tpu.ops.lpg import local_planar_guidance, lpg_strided, plane_from_spherical
 
 KITTI_FOCAL = 715.0873
 
@@ -95,7 +94,10 @@ class BtsDecoder(nn.Module):
         plane8 = plane_from_spherical(reduc8, self.max_depth)
         depth_8x8 = local_planar_guidance(plane8, 8, self.use_pallas)  # (B, H, W)
         depth_8x8_scaled = (depth_8x8 / self.max_depth)[..., None]
-        depth_8x8_ds = downsample_nearest(depth_8x8_scaled, 4).astype(dt)
+        # 1/4-res guidance map: evaluate the plane eq at strided pixels
+        # directly (== downsample_nearest(depth_8x8_scaled, 4), without the
+        # full-res gather/relayout; see ops.lpg.lpg_strided)
+        depth_8x8_ds = (lpg_strided(plane8, 8, 4) / self.max_depth)[..., None].astype(dt)
 
         upconv3 = UpConv(nf // 4, dtype=dt)(daspp_feat)  # H/4
         upconv3 = BatchNorm(dtype=dt)(upconv3, train)
@@ -107,7 +109,7 @@ class BtsDecoder(nn.Module):
         plane4 = plane_from_spherical(reduc4, self.max_depth)
         depth_4x4 = local_planar_guidance(plane4, 4, self.use_pallas)
         depth_4x4_scaled = (depth_4x4 / self.max_depth)[..., None]
-        depth_4x4_ds = downsample_nearest(depth_4x4_scaled, 2).astype(dt)
+        depth_4x4_ds = (lpg_strided(plane4, 4, 2) / self.max_depth)[..., None].astype(dt)
 
         upconv2 = UpConv(nf // 8, dtype=dt)(iconv3)  # H/2
         upconv2 = BatchNorm(dtype=dt)(upconv2, train)

@@ -56,6 +56,37 @@ def lpg_reference(plane_eq: jnp.ndarray, k: int) -> jnp.ndarray:
     return depth.reshape(b, h * k, w * k)
 
 
+def lpg_strided(plane_eq: jnp.ndarray, k: int, stride: int) -> jnp.ndarray:
+    """LPG evaluated at every ``stride``-th full-res pixel (exact).
+
+    Identical to ``downsample_nearest(lpg(plane_eq, k), stride)`` but never
+    materializes the full-res map: the decoder's next-finer stage consumes
+    the 8x8/4x4 depth maps at 1/4 and 1/2 resolution, and a strided slice of
+    a (H, W) map is a gather + relayout on TPU (~1.4 ms/step at 352x1216,
+    measured) while evaluating the plane equation at the strided in-patch
+    offsets is a fused elementwise op at the LOW resolution.
+
+    Derivation: ds[m, n] = full[m*s, n*s]; with e = k//s, full-res row m*s
+    falls in cell m//e with in-patch index (m % e)*s, so the output is an
+    e-fold expansion with offsets ((i*s) - (k-1)/2)/k for i in [0, e).
+    """
+    assert k % stride == 0, (k, stride)
+    e = k // stride
+    b, h, w, c = plane_eq.shape
+    assert c == 4, f"plane_eq last dim must be 4, got {c}"
+    pe = plane_eq.astype(jnp.float32)
+    n1 = pe[..., 0][:, :, None, :, None]
+    n2 = pe[..., 1][:, :, None, :, None]
+    n3 = pe[..., 2][:, :, None, :, None]
+    n4 = pe[..., 3][:, :, None, :, None]
+    i = jnp.arange(e, dtype=jnp.float32) * stride
+    off = (i - (k - 1) * 0.5) / k
+    u = off[None, None, None, None, :]
+    v = off[None, None, :, None, None]
+    depth = n4 / (n1 * u + n2 * v + n3)
+    return depth.reshape(b, h * e, w * e)
+
+
 def plane_from_spherical(raw3: jnp.ndarray, max_depth: float) -> jnp.ndarray:
     """reduction_1x1 head transform (SURVEY.md §2.7): 3 raw channels ->
     (n1,n2,n3,n4) unit-normal plane via spherical parameterization:

@@ -12,6 +12,7 @@ up by f == repeat.  Both are trivially fused by XLA — no gather needed.
 
 from __future__ import annotations
 
+import jax.lax as lax
 import jax.numpy as jnp
 
 
@@ -21,5 +22,11 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def downsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """NHWC nearest 1/factor downsample (integer factor, static shape)."""
-    return x[:, ::factor, ::factor, :]
+    """NHWC nearest 1/factor downsample (integer factor, static shape).
+
+    Uses an explicit strided lax.slice: jnp's ``x[:, ::f, ::f, :]`` lowers
+    to a GATHER with materialized s32 index tensors on TPU (measured ~1 ms
+    at 352x1216), while lax.slice stays a native strided slice.
+    """
+    b, h, w, c = x.shape
+    return lax.slice(x, (0, 0, 0, 0), (b, h, w, c), (1, factor, factor, 1))

@@ -1,0 +1,102 @@
+"""FLOPs / MFU analysis of the headline bench program (VERDICT r1 weak #2).
+
+Compiles the bench forward (DenseNet-161 BTS, 352x1216, batch-1, bf16) on
+the current platform, reports XLA cost-analysis FLOPs, measured images/sec,
+achieved TFLOP/s, and MFU vs the chip's bf16 peak.
+
+Usage: python scripts/mfu.py [--batch 1] [--iters 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets)
+PEAK_BF16 = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v5p": 459.0, "v6e": 918.0}
+
+
+def detect_peak() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower().replace(" ", "")
+    for k, v in PEAK_BF16.items():
+        if k in kind:
+            return v
+    return 197.0  # assume v5e (this environment's chip)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--height", type=int, default=352)
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    from bts_tpu.data.augment import eval_preprocess
+    from bts_tpu.models import BtsModel
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    model = BtsModel(encoder_name="densenet161_bts", max_depth=80.0,
+                     num_features=512, dtype=dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (args.batch, args.height, args.width, 3), np.uint8))
+    small = jnp.zeros((1, 96, 192, 3), jnp.float32)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, False))(jax.random.PRNGKey(0), small)
+
+    def forward(images_u8):
+        *_, final = model.apply(variables, eval_preprocess(images_u8), False)
+        return final
+
+    lowered = jax.jit(forward).lower(x)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    hbm_bytes = float(ca.get("bytes accessed", 0.0))
+
+    f = jax.jit(forward)
+    f(x).block_until_ready()
+    for _ in range(3):
+        f(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = f(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    ips = args.batch * args.iters / dt
+    step_s = dt / args.iters
+    tflops = flops / step_s / 1e12
+    peak = detect_peak()
+    # v5e HBM bandwidth: 819 GB/s
+    hbm_gbs = hbm_bytes / step_s / 1e9
+    print(json.dumps({
+        "platform": platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "batch": args.batch,
+        "flops_per_batch": flops,
+        "gflops_per_image": round(flops / args.batch / 1e9, 1),
+        "xla_bytes_accessed_gb": round(hbm_bytes / 1e9, 2),
+        "images_per_sec": round(ips, 2),
+        "step_ms": round(step_s * 1e3, 2),
+        "achieved_tflops": round(tflops, 2),
+        "peak_bf16_tflops": peak,
+        "mfu_pct": round(100 * tflops / peak, 2),
+        "implied_hbm_gbs": round(hbm_gbs, 1),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,20 @@ def test_pallas_kernel_interpret_fwd_bwd(rng):
             np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-4)
     finally:
         lpg_pallas._INTERPRET = False
+
+
+def test_lpg_strided_matches_downsampled_reference():
+    """lpg_strided(p, k, s) must equal downsample_nearest(lpg(p, k), s)
+    exactly — it is the same plane equation evaluated at every s-th pixel."""
+    from bts_tpu.ops.lpg import lpg_reference, lpg_strided
+    from bts_tpu.ops.resize import downsample_nearest
+
+    rng = np.random.default_rng(5)
+    plane = rng.normal(size=(2, 6, 10, 4)).astype(np.float32)
+    plane[..., 2] += 3.0  # keep denominators away from zero
+    plane[..., 3] = np.abs(plane[..., 3]) + 1.0
+    for k, s in [(8, 4), (4, 2), (8, 2), (2, 1)]:
+        full = lpg_reference(jnp.asarray(plane), k)
+        expect = downsample_nearest(full[..., None], s)[..., 0]
+        got = lpg_strided(jnp.asarray(plane), k, s)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
