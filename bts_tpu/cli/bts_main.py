@@ -38,10 +38,20 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
     zero-padded back onto it), so the garg/eigen crop selects the same
     pixels as bts_eval.py and the published protocol — masking the cropped
     gt directly would shift the evaluated region.
+
+    Pipelined three ways (the reference's online_eval is a serial batch-1
+    loop): a prefetch thread decodes image+gt PNGs ahead of the device, the
+    forward for sample i+1 is dispatched asynchronously before the host
+    computes metrics for sample i, and the device->host copy of prediction i
+    overlaps forward i+1.  On the real 697-image KITTI split this keeps the
+    chip busy instead of idling on per-sample PNG decodes.
     """
     if not cfg.filenames_file_eval:
         print("[bts_tpu] --do_online_eval needs --filenames_file_eval; skipping")
         return None
+    import queue
+    import threading
+
     from PIL import Image
 
     from bts_tpu.cli.bts_eval import masked_errors, pad_pred_to_gt
@@ -49,27 +59,55 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
     from bts_tpu.data.depth_io import depth_from_png
 
     samples = parse_filenames_file(cfg.filenames_file_eval, cfg.data_path_eval, cfg.gt_path_eval)
+    if max_samples:
+        samples = samples[:max_samples]
+    samples = [s for s in samples if s.depth_path is not None]
+
+    q: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        try:
+            for s in samples:
+                img, _, focal = load_sample(
+                    s, cfg.dataset, cfg.do_kb_crop, need_depth=False, border_crop=False
+                )
+                gt = depth_from_png(np.array(Image.open(s.depth_path)), cfg.dataset)
+                q.put((img, focal, gt))
+        except Exception as e:  # surface loader errors on the consumer side
+            q.put(e)
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
     accum = []
-    for i, s in enumerate(samples):
-        if (max_samples and i >= max_samples) or s.depth_path is None:
-            continue
-        img, _, focal = load_sample(
-            s, cfg.dataset, cfg.do_kb_crop, need_depth=False, border_crop=False
-        )
-        gt = depth_from_png(np.array(Image.open(s.depth_path)), cfg.dataset)
-        pred = np.asarray(
-            eval_step(
-                state.params,
-                state.batch_stats,
-                jnp.asarray(img[None]),
-                jnp.full((1,), focal, jnp.float32),
-            )
-        )[0]
+
+    def finish(pred_dev, gt):
+        pred = np.asarray(pred_dev)[0]
         if cfg.do_kb_crop:
             pred = pad_pred_to_gt(pred, gt.shape, cfg)
         errs = masked_errors(gt, pred, cfg)
         if errs is not None:
             accum.append(errs)
+
+    pending = None
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        img, focal, gt = item
+        pred_dev = eval_step(
+            state.params,
+            state.batch_stats,
+            jnp.asarray(img[None]),
+            jnp.full((1,), focal, jnp.float32),
+        )
+        if pending is not None:
+            finish(*pending)
+        pending = (pred_dev, gt)
+    if pending is not None:
+        finish(*pending)
     return np.mean(np.stack(accum), axis=0) if accum else None
 
 
@@ -83,10 +121,15 @@ def main(argv=None):
 
     maybe_init_distributed()
     print(f"[bts_tpu] devices: {jax.devices()} ({jax.process_count()} hosts)")
-    mesh = create_mesh(cfg.num_devices)
+    # --spatial_shards N: 2-D (data, model) mesh; image height is sharded
+    # over the model axis so one sample's activations span N chips' HBM
+    # (resolutions beyond a single chip; no reference counterpart)
+    mesh = create_mesh(cfg.num_devices, model_axis=cfg.spatial_shards)
     n_data = mesh.shape["data"]
     if cfg.batch_size % n_data != 0:
         raise SystemExit(f"batch_size {cfg.batch_size} not divisible by {n_data} devices")
+    if cfg.spatial_shards > 1:
+        print(f"[bts_tpu] spatial sharding: H over {cfg.spatial_shards} devices")
 
     loader = BtsDataLoader(cfg, "train")
     steps_per_epoch = loader.steps_per_epoch()
@@ -94,7 +137,9 @@ def main(argv=None):
     print(f"[bts_tpu] {len(loader)} samples, {steps_per_epoch} steps/epoch, {total_steps} total")
 
     model = create_model(cfg)
-    trainer = Trainer(model, cfg, total_steps, mesh=mesh, augment=True)
+    trainer = Trainer(
+        model, cfg, total_steps, mesh=mesh, augment=True, spatial=cfg.spatial_shards > 1
+    )
     eval_step = make_eval_step(model, cfg)
 
     first = next(iter(loader.batches(num_epochs=1)))
@@ -172,7 +217,10 @@ def main(argv=None):
     remaining = total_steps - int(state.step)
     state = trainer.run(
         state,
-        loader.prefetched(),
+        # sample-exact resume: the batch stream continues at the checkpointed
+        # global step (same per-epoch shuffle, same cursor), so a restarted
+        # run sees exactly the data an uninterrupted one would have
+        loader.prefetched(start_step=int(state.step)),
         remaining,
         on_metrics,
         on_save,

@@ -80,13 +80,31 @@ def main(argv=None):
 
     use_focal = cfg.dataset == "kitti"
 
-    @jax.jit
-    def forward(params, batch_stats, images, focal):
+    def _forward(params, batch_stats, images, focal):
         variables = {"params": params, "batch_stats": batch_stats}
         return model.apply(
             variables, eval_preprocess(images), False,
             focal=focal if use_focal else None,
         )
+
+    if cfg.spatial_shards > 1:
+        # --spatial_shards N: image height sharded over N chips (GSPMD halo
+        # exchange through the conv pyramid) — full-resolution inference
+        # beyond one chip's HBM, straight from the CLI (no reference analog)
+        from bts_tpu.parallel.mesh import (
+            create_mesh,
+            replicated_sharding,
+            spatial_sharding,
+        )
+
+        mesh = create_mesh(num_devices=cfg.spatial_shards, model_axis=cfg.spatial_shards)
+        repl, sp = replicated_sharding(mesh), spatial_sharding(mesh)
+        forward = jax.jit(
+            _forward, in_shardings=(repl, repl, sp, repl), out_shardings=sp
+        )
+        print(f"[bts_tpu] spatial inference: H over {cfg.spatial_shards} devices")
+    else:
+        forward = jax.jit(_forward)
 
     def write_outputs(i, outs):
         """Host-side conversion + PNG writes for one completed forward."""

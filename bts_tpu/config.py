@@ -85,6 +85,7 @@ class Config:
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
+    spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     dataloader_workers: int = 2
     seed: int = 0  # base seed for init, dropout/augment PRNG, loader shuffle
 

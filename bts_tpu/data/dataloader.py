@@ -57,7 +57,7 @@ def parse_filenames_file(path: str, data_path: str = "", gt_path: str = "", use_
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if not parts:
+            if not parts or parts[0].startswith("#"):
                 continue
             img = parts[0]
             depth = parts[1] if len(parts) > 1 and parts[1] != "None" else None
@@ -76,25 +76,19 @@ def parse_filenames_file(path: str, data_path: str = "", gt_path: str = "", use_
     return samples
 
 
-def load_sample(
-    sample: Sample,
+def apply_fixed_geometry(
+    image: np.ndarray,
+    depth: Optional[np.ndarray],
     dataset: str,
     do_kb_crop: bool,
-    need_depth: bool = True,
-    border_crop: bool = True,
-) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
-    """Decode one sample and apply the fixed-geometry crops.
+    border_crop: bool,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """The fixed-geometry crops shared by the PNG-tree and record paths.
 
     ``border_crop`` (NYU) is TRAIN-ONLY in the reference: test/eval forward
     the full 480x640 frame (divisible by 32 for the encoder pyramid) and the
     eigen crop is applied as a *metric mask*, never as an input crop.
-
-    Returns (uint8 HWC image, float32 HW depth-in-meters or None, focal).
     """
-    image = np.asarray(Image.open(sample.image_path).convert("RGB"), dtype=np.uint8)
-    depth = None
-    if need_depth and sample.depth_path is not None:
-        depth = depth_from_png(np.array(Image.open(sample.depth_path)), dataset)
     if dataset == "nyu":
         if border_crop:
             image = nyu_border_crop(image)
@@ -104,6 +98,25 @@ def load_sample(
         image = kb_crop(image)
         if depth is not None:
             depth = kb_crop(depth)
+    return image, depth
+
+
+def load_sample(
+    sample: Sample,
+    dataset: str,
+    do_kb_crop: bool,
+    need_depth: bool = True,
+    border_crop: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
+    """Decode one sample and apply the fixed-geometry crops.
+
+    Returns (uint8 HWC image, float32 HW depth-in-meters or None, focal).
+    """
+    image = np.asarray(Image.open(sample.image_path).convert("RGB"), dtype=np.uint8)
+    depth = None
+    if need_depth and sample.depth_path is not None:
+        depth = depth_from_png(np.array(Image.open(sample.depth_path)), dataset)
+    image, depth = apply_fixed_geometry(image, depth, dataset, do_kb_crop, border_crop)
     return image, depth, sample.focal
 
 
@@ -125,15 +138,39 @@ class BtsDataLoader:
             fn, dp, gp = cfg.filenames_file_eval, cfg.data_path_eval, cfg.gt_path_eval
         else:
             fn, dp, gp = cfg.filenames_file, cfg.data_path, cfg.gt_path
-        self.samples = parse_filenames_file(fn, dp, gp)
-        self.n_base = len(self.samples)
-        # Reference --use_right: the right KITTI camera is chosen randomly
-        # per sample at train time (SURVEY.md §2.10), not swapped globally.
-        # Both variants live in one table (left: [0, n), right: [n, 2n)) so
-        # the fixed-path native loader supports the random choice too.
+        # Pod-scale input (SURVEY.md §2.10 [L]): --filenames_file may name
+        # ArrayRecord shards (path or glob) instead of a PNG-tree split file;
+        # records are read by index, so shuffle/shard/resume logic is shared.
+        from bts_tpu.data.records import looks_like_records
+
+        self.record_source = None
         self.use_right = bool(cfg.use_right) and mode == "train"
-        if self.use_right:
-            self.samples = self.samples + parse_filenames_file(fn, dp, gp, use_right=True)
+        if fn and looks_like_records(fn):
+            if mode != "train":
+                raise ValueError(
+                    "ArrayRecord input is a training path; test/eval drivers "
+                    "need per-sample file paths (prediction naming, gt lookup) "
+                    "— point them at a PNG-tree split file"
+                )
+            if self.use_right:
+                raise ValueError(
+                    "--use_right needs the PNG-tree loader: records bake one "
+                    "camera per sample (write both views into the shards instead)"
+                )
+            from bts_tpu.data.records import RecordSource
+
+            self.record_source = RecordSource(fn)
+            self.samples = []
+            self.n_base = len(self.record_source)
+        else:
+            self.samples = parse_filenames_file(fn, dp, gp)
+            self.n_base = len(self.samples)
+            # Reference --use_right: the right KITTI camera is chosen randomly
+            # per sample at train time (SURVEY.md §2.10), not swapped globally.
+            # Both variants live in one table (left: [0, n), right: [n, 2n)) so
+            # the fixed-path native loader supports the random choice too.
+            if self.use_right:
+                self.samples = self.samples + parse_filenames_file(fn, dp, gp, use_right=True)
         self.batch_size = cfg.batch_size if mode == "train" else 1
         # multi-host DP: every host shuffles with the same seed (identical
         # global order) and loads only its contiguous slice of each global
@@ -155,7 +192,6 @@ class BtsDataLoader:
             self.local_batch = self.batch_size // self.process_count
         else:
             self.local_batch = self.batch_size
-        self.rng = np.random.default_rng(cfg.seed)
 
     def __len__(self):
         return self.n_base
@@ -176,38 +212,88 @@ class BtsDataLoader:
             depth = np.zeros(img.shape[:2], np.float32)
         return img, depth, focal
 
-    def _epoch_order(self) -> List[int]:
+    def _load_record(self, index: int):
+        """Decode record ``index`` to the same contract as :meth:`_load`."""
+        img, raw_depth, focal = self.record_source.read(index)
+        depth = None
+        if raw_depth is not None and self.mode != "test":
+            depth = depth_from_png(raw_depth, self.cfg.dataset)
+        img, depth = apply_fixed_geometry(
+            img, depth, self.cfg.dataset, self.cfg.do_kb_crop, border_crop=self.mode == "train"
+        )
+        if depth is None and self.mode != "test":
+            depth = np.zeros(img.shape[:2], np.float32)
+        return img, depth, focal
+
+    def _load_index(self, i: int):
+        if self.record_source is not None:
+            return self._load_record(i)
+        return self._load(self.samples[i])
+
+    def _epoch_order(self, epoch: int = 0) -> List[int]:
+        """Sample order for one epoch — a PURE function of (seed, epoch).
+
+        Statelessness is what makes mid-epoch resume sample-exact: epoch e's
+        order is recomputable without replaying epochs 0..e-1, so resuming at
+        global step s only needs (s // steps_per_epoch, s % steps_per_epoch)
+        — both derivable from the checkpointed step counter.
+        """
         idx = np.arange(self.n_base)
         if self.mode == "train":
-            self.rng.shuffle(idx)
+            rng = np.random.default_rng([self.cfg.seed, epoch])
+            rng.shuffle(idx)
             if self.use_right:
                 # random per-sample left/right camera (reference semantics)
-                idx = idx + self.n_base * self.rng.integers(0, 2, size=idx.shape)
+                idx = idx + self.n_base * rng.integers(0, 2, size=idx.shape)
         return list(idx)
 
-    def batches(self, num_epochs: Optional[int] = None) -> Iterator[dict]:
-        """Yield batches; infinite when num_epochs is None and mode=='train'."""
-        epoch = 0
-        while num_epochs is None or epoch < num_epochs:
-            order = self._epoch_order()
-            # drop remainder in train mode (static batch shape for jit)
-            usable = len(order) - (len(order) % self.batch_size) if self.mode == "train" else len(order)
-            for start in range(0, usable, self.batch_size):
-                chunk = order[start : start + self.batch_size]
-                if self.process_count > 1:
-                    lo = self.process_index * self.local_batch
-                    chunk = chunk[lo : lo + self.local_batch]
-                loaded = [self._load(self.samples[i]) for i in chunk]
-                batch = {
-                    "image": np.stack([x[0] for x in loaded]),
-                    "focal": np.array([x[2] for x in loaded], np.float32),
-                }
-                if self.mode != "test":
-                    batch["depth"] = np.stack([x[1] for x in loaded])
-                yield batch
-            epoch += 1
-            if self.mode != "train":
-                break
+    def batches(self, num_epochs: Optional[int] = None, start_step: int = 0) -> Iterator[dict]:
+        """Yield batches; infinite when num_epochs is None and mode=='train'.
+
+        ``start_step`` (train mode): resume the global-step sequence exactly
+        there — same epoch order, same position within the epoch — as if the
+        run had never stopped.
+        """
+        spe = self.steps_per_epoch()
+        epoch = start_step // spe if self.mode == "train" else 0
+        skip = start_step % spe if self.mode == "train" else 0
+        done = 0
+        # parallel PNG decode within a batch (PIL's zlib work drops the GIL);
+        # the native C++ loader has its own pool, this covers the PIL/record paths
+        pool = None
+        if self.cfg.dataloader_workers > 1 and self.local_batch > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(self.cfg.dataloader_workers)
+        try:
+            while num_epochs is None or done < num_epochs:
+                order = self._epoch_order(epoch)
+                # drop remainder in train mode (static batch shape for jit)
+                usable = len(order) - (len(order) % self.batch_size) if self.mode == "train" else len(order)
+                for start in range(skip * self.batch_size, usable, self.batch_size):
+                    chunk = order[start : start + self.batch_size]
+                    if self.process_count > 1:
+                        lo = self.process_index * self.local_batch
+                        chunk = chunk[lo : lo + self.local_batch]
+                    if pool is not None:
+                        loaded = list(pool.map(self._load_index, chunk))
+                    else:
+                        loaded = [self._load_index(i) for i in chunk]
+                    batch = {
+                        "image": np.stack([x[0] for x in loaded]),
+                        "focal": np.array([x[2] for x in loaded], np.float32),
+                    }
+                    if self.mode != "test":
+                        batch["depth"] = np.stack([x[1] for x in loaded])
+                    yield batch
+                skip = 0
+                epoch += 1
+                done += 1
+                if self.mode != "train":
+                    break
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def _crop_mode(self) -> int:
         from bts_tpu.data import native_loader as nl
@@ -216,8 +302,10 @@ class BtsDataLoader:
             return nl.CROP_NYU if self.mode == "train" else nl.CROP_NONE
         return nl.CROP_KB if self.cfg.do_kb_crop else nl.CROP_NONE
 
-    def _native(self, num_epochs: Optional[int]) -> Optional[Iterator[dict]]:
+    def _native(self, num_epochs: Optional[int], start_step: int = 0) -> Optional[Iterator[dict]]:
         """C++ decode+prefetch fast path (native/btsdata.cc); None if unusable."""
+        if self.record_source is not None:
+            return None  # records are decoded via _load_record (no file paths)
         if self.cfg.use_native_loader == "never":
             return None
         from bts_tpu.data import native_loader as nl
@@ -254,21 +342,26 @@ class BtsDataLoader:
 
         def gen():
             try:
-                epoch = 0
-                while num_epochs is None or epoch < num_epochs:
-                    order = np.asarray(self._epoch_order(), np.int32)
-                    if self.process_count > 1:
-                        # this host's contiguous slice of each global batch
+                spe = self.steps_per_epoch()
+                epoch = start_step // spe if self.mode == "train" else 0
+                skip = start_step % spe if self.mode == "train" else 0
+                done = 0
+                while num_epochs is None or done < num_epochs:
+                    order = np.asarray(self._epoch_order(epoch), np.int32)
+                    if self.mode == "train":
                         usable = len(order) - (len(order) % self.batch_size)
-                        lo = self.process_index * self.local_batch
-                        order = (
-                            order[:usable]
-                            .reshape(-1, self.batch_size)[:, lo : lo + self.local_batch]
-                            .reshape(-1)
-                        )
+                        order = order[:usable].reshape(-1, self.batch_size)
+                        if self.process_count > 1:
+                            # this host's contiguous slice of each global batch
+                            lo = self.process_index * self.local_batch
+                            order = order[:, lo : lo + self.local_batch]
+                        # mid-epoch resume: drop the batches already consumed
+                        order = order[skip:].reshape(-1)
                     loader.start_epoch(order)
                     yield from loader
+                    skip = 0
                     epoch += 1
+                    done += 1
                     if self.mode != "train":
                         break
             finally:
@@ -276,25 +369,30 @@ class BtsDataLoader:
 
         return gen()
 
-    def prefetched(self, num_epochs: Optional[int] = None, depth: int = 2) -> Iterator[dict]:
+    def prefetched(
+        self, num_epochs: Optional[int] = None, depth: int = 2, start_step: int = 0
+    ) -> Iterator[dict]:
         """Batches with decode overlapping device compute.
 
         Prefers the native C++ loader (decode + crop + batch assembly on
         worker threads); falls back to PIL + a Python prefetch thread.
+        ``start_step`` resumes the train-mode batch sequence sample-exactly.
         """
-        native = self._native(num_epochs)
+        native = self._native(num_epochs, start_step)
         if native is not None:
             return native
-        return self._py_prefetched(num_epochs, depth)
+        return self._py_prefetched(num_epochs, depth, start_step)
 
-    def _py_prefetched(self, num_epochs: Optional[int] = None, depth: int = 2) -> Iterator[dict]:
+    def _py_prefetched(
+        self, num_epochs: Optional[int] = None, depth: int = 2, start_step: int = 0
+    ) -> Iterator[dict]:
         """Python fallback: PIL decode under a background prefetch thread."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
 
         def worker():
             try:
-                for b in self.batches(num_epochs):
+                for b in self.batches(num_epochs, start_step):
                     q.put(b)
             finally:
                 q.put(sentinel)

