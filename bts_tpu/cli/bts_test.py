@@ -106,36 +106,45 @@ def main(argv=None):
     else:
         forward = jax.jit(_forward)
 
-    def write_outputs(i, outs):
-        """Host-side conversion + PNG writes for one completed forward."""
-        d8, d4, d2, d1, final = outs
-        pred = np.asarray(final)[0, :, :, 0]
-        name = pred_name(loader.samples[i].image_path, cfg.data_path)
-        write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
-        if cfg.save_cmap:
-            save_cmap_png(os.path.join(out_dir, "cmap", name + ".png"), pred, cfg.max_depth)
-        if cfg.save_lpg:
-            for k, d in (("8x8", d8), ("4x4", d4), ("2x2", d2)):
-                lpg = np.asarray(d)[0, :, :, 0] * cfg.max_depth
-                write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
-        if (i + 1) % 50 == 0:
-            print(f"[bts_tpu] {i + 1}/{len(loader)}", flush=True)
+    n_total = len(loader)
 
-    # one-deep software pipeline: dispatch forward i+1 (async) before
-    # converting/writing the PNGs of forward i, so the device computes while
-    # the host encodes
-    state, pending = None, None
-    for i, batch in enumerate(loader.prefetched(num_epochs=1)):
+    def write_outputs(start, outs):
+        """Host-side conversion + PNG writes for one completed batched
+        forward; pad samples in the tail batch (loader repeats the last
+        sample to keep the jit shape static) are skipped."""
+        final = np.asarray(outs[4])
+        for j in range(final.shape[0]):
+            i = start + j
+            if i >= n_total:
+                break
+            pred = final[j, :, :, 0]
+            name = pred_name(loader.samples[i].image_path, cfg.data_path)
+            write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
+            if cfg.save_cmap:
+                save_cmap_png(os.path.join(out_dir, "cmap", name + ".png"), pred, cfg.max_depth)
+            if cfg.save_lpg:
+                for k, d in (("8x8", outs[0]), ("4x4", outs[1]), ("2x2", outs[2])):
+                    lpg = np.asarray(d)[j, :, :, 0] * cfg.max_depth
+                    write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
+            if (i + 1) % 50 == 0:
+                print(f"[bts_tpu] {i + 1}/{n_total}", flush=True)
+        return min(start + final.shape[0], n_total)
+
+    # one-deep software pipeline: dispatch the next batched forward (async)
+    # before converting/writing the PNGs of the previous one, so the device
+    # computes while the host encodes
+    state, pending, start = None, None, 0
+    for batch in loader.prefetched(num_epochs=1):
         images = jnp.asarray(batch["image"])
         if state is None:
             state = restore_state(cfg, model, eval_preprocess(images))
         outs = forward(state.params, state.batch_stats, images, jnp.asarray(batch["focal"]))
         if pending is not None:
-            write_outputs(*pending)
-        pending = (i, outs)
+            start = write_outputs(*pending)
+        pending = (start, outs)
     if pending is not None:
-        write_outputs(*pending)
-    print(f"[bts_tpu] wrote {len(loader)} predictions to {out_dir}")
+        start = write_outputs(*pending)
+    print(f"[bts_tpu] wrote {start} predictions to {out_dir}")
     return 0
 
 

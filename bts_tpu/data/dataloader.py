@@ -171,7 +171,10 @@ class BtsDataLoader:
             # the fixed-path native loader supports the random choice too.
             if self.use_right:
                 self.samples = self.samples + parse_filenames_file(fn, dp, gp, use_right=True)
-        self.batch_size = cfg.batch_size if mode == "train" else 1
+        # train/test batch by --batch_size (the test driver pipelines batched
+        # forwards and ignores pad samples); online_eval stays batch-1 (its
+        # per-sample gt geometry varies and metrics are per-image anyway)
+        self.batch_size = cfg.batch_size if mode != "online_eval" else 1
         # multi-host DP: every host shuffles with the same seed (identical
         # global order) and loads only its contiguous slice of each global
         # batch; parallel.mesh.shard_batch reassembles the global array
@@ -268,8 +271,15 @@ class BtsDataLoader:
         try:
             while num_epochs is None or done < num_epochs:
                 order = self._epoch_order(epoch)
-                # drop remainder in train mode (static batch shape for jit)
-                usable = len(order) - (len(order) % self.batch_size) if self.mode == "train" else len(order)
+                # train: drop the remainder; test: PAD it by repeating the
+                # last sample — both keep the batch shape static for jit
+                # (consumers write only the first len(self) predictions)
+                rem = len(order) % self.batch_size
+                if rem and self.mode == "train":
+                    order = order[: len(order) - rem]
+                elif rem:
+                    order = order + [order[-1]] * (self.batch_size - rem)
+                usable = len(order)
                 for start in range(skip * self.batch_size, usable, self.batch_size):
                     chunk = order[start : start + self.batch_size]
                     if self.process_count > 1:
@@ -357,6 +367,11 @@ class BtsDataLoader:
                             order = order[:, lo : lo + self.local_batch]
                         # mid-epoch resume: drop the batches already consumed
                         order = order[skip:].reshape(-1)
+                    elif len(order) % self.batch_size:
+                        # test mode: pad the tail batch (NativeBatchLoader
+                        # drops non-multiples; consumers ignore pad samples)
+                        pad = self.batch_size - len(order) % self.batch_size
+                        order = np.concatenate([order, np.repeat(order[-1:], pad)])
                     loader.start_epoch(order)
                     yield from loader
                     skip = 0

@@ -4,7 +4,11 @@ Compiles the bench forward (DenseNet-161 BTS, 352x1216, batch-1, bf16) on
 the current platform, reports XLA cost-analysis FLOPs, measured images/sec,
 achieved TFLOP/s, and MFU vs the chip's bf16 peak.
 
-Usage: python scripts/mfu.py [--batch 1] [--iters 30]
+``--train`` instead measures the full fused training step (augment + fwd +
+silog + bwd + AdamW, optional --remat) at the BASELINE config-4 geometry
+(DenseNet-161, 352x704, batch 16) — the compute-bound production workload.
+
+Usage: python scripts/mfu.py [--batch 1] [--iters 30] [--train] [--remat]
 """
 from __future__ import annotations
 
@@ -36,11 +40,15 @@ def detect_peak() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=0)  # 0 => mode default
     ap.add_argument("--height", type=int, default=352)
-    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--width", type=int, default=0)  # 0 => mode default
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
+    args.batch = args.batch or (16 if args.train else 1)
+    args.width = args.width or (704 if args.train else 1216)
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     from bts_tpu.data.augment import eval_preprocess
@@ -48,34 +56,77 @@ def main():
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
-    model = BtsModel(encoder_name="densenet161_bts", max_depth=80.0,
-                     num_features=512, dtype=dtype)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, 255, (args.batch, args.height, args.width, 3), np.uint8))
     small = jnp.zeros((1, 96, 192, 3), jnp.float32)
-    variables = jax.jit(lambda k, xx: model.init(k, xx, False))(jax.random.PRNGKey(0), small)
 
-    def forward(images_u8):
-        *_, final = model.apply(variables, eval_preprocess(images_u8), False)
-        return final
+    if args.train:
+        from bts_tpu.config import Config
+        from bts_tpu.models import create_model
+        from bts_tpu.training.optimizer import make_optimizer
+        from bts_tpu.training.trainer import TrainState, make_train_step
 
-    lowered = jax.jit(forward).lower(x)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        cfg = Config(dataset="kitti", encoder="densenet161_bts", max_depth=80.0,
+                     input_height=args.height, input_width=args.width,
+                     batch_size=args.batch, do_random_rotate=True, degree=1.0,
+                     remat=args.remat,
+                     compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32")
+        model = create_model(cfg)
+        tx = make_optimizer(cfg, total_steps=1000)
+        variables = jax.jit(lambda k, xx: model.init(k, xx, True))(jax.random.PRNGKey(0), small)
+        state = TrainState.create(variables, tx)
+        # pre-crop geometry: KB-cropped KITTI (352x1216), random-crop to H x W
+        batch = {
+            "image": jnp.asarray(rng.integers(0, 255, (args.batch, 352, 1216, 3), np.uint8)),
+            "depth": jnp.asarray(rng.uniform(0.5, 60.0, (args.batch, 352, 1216)).astype(np.float32)),
+            "focal": jnp.full((args.batch,), 721.5377, jnp.float32),
+        }
+        step = make_train_step(model, tx, cfg, mesh=None, augment=True)
+        key = jax.random.PRNGKey(0)
 
-    f = jax.jit(forward)
-    f(x).block_until_ready()
-    for _ in range(3):
+        compiled = step.lower(state, batch, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+
+        state, _ = step(state, batch, key)  # compile+run once
+        jax.block_until_ready(state)
+        for _ in range(2):
+            state, _ = step(state, batch, key)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+    else:
+        model = BtsModel(encoder_name="densenet161_bts", max_depth=80.0,
+                         num_features=512, dtype=dtype)
+        x = jnp.asarray(rng.integers(0, 255, (args.batch, args.height, args.width, 3), np.uint8))
+        variables = jax.jit(lambda k, xx: model.init(k, xx, False))(jax.random.PRNGKey(0), small)
+
+        def forward(images_u8):
+            *_, final = model.apply(variables, eval_preprocess(images_u8), False)
+            return final
+
+        lowered = jax.jit(forward).lower(x)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+
+        f = jax.jit(forward)
         f(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = f(x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        for _ in range(3):
+            f(x).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = f(x)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
     ips = args.batch * args.iters / dt
     step_s = dt / args.iters
     tflops = flops / step_s / 1e12
@@ -83,6 +134,7 @@ def main():
     # v5e HBM bandwidth: 819 GB/s
     hbm_gbs = hbm_bytes / step_s / 1e9
     result = {
+        "workload": ("train_step_remat" if args.remat else "train_step") if args.train else "forward",
         "platform": platform,
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
         "batch": args.batch,

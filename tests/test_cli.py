@@ -71,7 +71,10 @@ def test_train_test_eval_chain(fixture_dir, capsys):
         "--max_depth", "10", "--data_path", str(root), "--gt_path", str(root),
         "--filenames_file", f"{root}/split.txt", "--compute_dtype", "float32",
     ]
-    assert bts_test_cli(common + ["--checkpoint_path", ckpt, "--out_path", f"{root}/preds"]) == 0
+    # batch 3 over 4 samples: exercises the batched forward AND the padded
+    # tail batch (last sample repeated to keep the jit shape static)
+    assert bts_test_cli(common + ["--checkpoint_path", ckpt, "--out_path", f"{root}/preds",
+                                  "--batch_size", "3"]) == 0
     preds = os.listdir(f"{root}/preds/raw")
     assert len(preds) == 4
     # uint16 PNG round-trip in [0, 10m]
