@@ -149,10 +149,21 @@ def main():
         "implied_hbm_gbs": round(hbm_gbs, 1),
     }
     print(json.dumps(result, indent=1))
-    # persist for the judge/README next to the other measurement artifacts
-    if platform in ("tpu", "axon") and args.batch == 1 and args.height == 352:
-        with open(os.path.join(REPO, "MFU.json"), "w") as f:
-            json.dump(result, f, indent=1)
+    # persist for the judge/README next to the other measurement artifacts;
+    # MERGE by workload key (measurement files must never clobber earlier
+    # results) — only default-geometry TPU runs are recorded
+    default_geom = (args.batch, args.width) == ((16, 704) if args.train else (1, 1216))
+    if platform in ("tpu", "axon") and args.height == 352 and default_geom:
+        path = os.path.join(REPO, "MFU.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            # legacy format: a single un-keyed forward result
+            merged = prev if "forward" in prev or "train_step" in prev or "train_step_remat" in prev else {"forward": prev}
+        merged[result["workload"]] = result
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

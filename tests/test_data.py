@@ -80,6 +80,39 @@ def test_rotate_identity_and_ninety():
     assert sorted(np.asarray(out90).ravel().tolist()) == sorted(np.asarray(img).ravel().tolist())
 
 
+def test_rotate_shear_matches_gather_oracle(rng):
+    """The gather-free 3-shear rotation (the train-time path; the
+    map_coordinates gather lowers to a ~175x-slower scalar loop on TPU) must
+    match the direct 2-D resample: exact identity at 0, sub-1e-2 interior
+    agreement for bilinear at the reference's angle bounds, and nearest-mode
+    depth outputs that are true source values or the 0 fill."""
+    from scipy.ndimage import gaussian_filter
+
+    from bts_tpu.data.augment import rotate_image, rotate_image_shear
+
+    img = jnp.asarray(gaussian_filter(rng.uniform(0, 1, (40, 56, 3)), (2, 2, 0)))
+    depth = jnp.asarray(gaussian_filter(rng.uniform(1, 10, (40, 56)), 2).astype(np.float32))
+
+    out0 = rotate_image_shear(img, jnp.float32(0.0), order=1, max_degree=2.5)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(img))
+
+    for deg in (1.0, -1.0, 2.5):
+        a = jnp.float32(np.radians(deg))
+        ref = np.asarray(rotate_image(img, a, order=1))
+        got = np.asarray(rotate_image_shear(img, a, order=1, max_degree=2.5))
+        # border sliver zero-fill differs; compare the interior
+        assert np.abs(ref - got)[4:-4, 4:-4].max() < 1e-2
+
+    a = jnp.float32(np.radians(2.0))
+    dgot = np.asarray(rotate_image_shear(depth, a, order=0, max_degree=2.5))
+    src = set(np.asarray(depth).ravel().tolist()) | {0.0}
+    assert set(dgot.ravel().tolist()) <= src
+    # per-pass rounding may pick a +-1px neighbor vs the direct 2-D nearest;
+    # on a smooth field that bounds the VALUE error by the local gradient
+    dref = np.asarray(rotate_image(depth, a, order=0))
+    assert np.abs(dref - dgot)[4:-4, 4:-4].mean() < 0.05
+
+
 def test_random_crop_and_flip_consistency(rng):
     img = jnp.array(rng.random((32, 48, 3)), jnp.float32)
     depth = img[..., 0] * 10
