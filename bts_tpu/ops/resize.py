@@ -17,8 +17,15 @@ import jax.numpy as jnp
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """NHWC nearest x2 upsample via repeat (XLA lowers to broadcast+reshape)."""
-    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    """NHWC nearest x2 upsample via explicit broadcast+reshape.
+
+    jnp.repeat canonicalizes to the same HLO (verified identical lowering
+    and runtime on TPU via scripts/traffic_diag.py); the explicit form just
+    makes the intended broadcast lowering obvious.
+    """
+    b, h, w, c = x.shape
+    out = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return out.reshape(b, 2 * h, 2 * w, c)
 
 
 def downsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
