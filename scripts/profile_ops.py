@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_workload(train: bool, remat: bool, steps: int, tracedir: str):
+def run_workload(train: bool, remat: bool, steps: int, tracedir: str, batch: int = 16,
+                 encoder: str = "densenet161_bts", dataset: str = "kitti"):
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     from bts_tpu.data.augment import eval_preprocess
     from bts_tpu.models import BtsModel
@@ -42,18 +43,23 @@ def run_workload(train: bool, remat: bool, steps: int, tracedir: str):
         from bts_tpu.training.optimizer import make_optimizer
         from bts_tpu.training.trainer import TrainState, make_train_step
 
-        cfg = Config(dataset="kitti", encoder="densenet161_bts", max_depth=80.0,
-                     input_height=352, input_width=704, batch_size=16,
-                     do_random_rotate=True, degree=1.0, remat=remat,
+        kitti = dataset == "kitti"
+        cfg = Config(dataset=dataset, encoder=encoder,
+                     max_depth=80.0 if kitti else 10.0,
+                     input_height=352 if kitti else 416,
+                     input_width=704 if kitti else 544, batch_size=batch,
+                     do_random_rotate=True, degree=1.0 if kitti else 2.5,
+                     remat=remat,
                      compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32")
         model = create_model(cfg)
         tx = make_optimizer(cfg, total_steps=1000)
         variables = jax.jit(lambda k, xx: model.init(k, xx, True))(jax.random.PRNGKey(0), small)
         state = TrainState.create(variables, tx)
+        ph, pw = (352, 1216) if kitti else (480, 640)
         batch = {
-            "image": jnp.asarray(rng.integers(0, 255, (16, 352, 1216, 3), np.uint8)),
-            "depth": jnp.asarray(rng.uniform(0.5, 60.0, (16, 352, 1216)).astype(np.float32)),
-            "focal": jnp.full((16,), 721.5377, jnp.float32),
+            "image": jnp.asarray(rng.integers(0, 255, (batch, ph, pw, 3), np.uint8)),
+            "depth": jnp.asarray(rng.uniform(0.5, 60.0, (batch, ph, pw)).astype(np.float32)),
+            "focal": jnp.full((batch,), 721.5377 if kitti else 518.8579, jnp.float32),
         }
         step = make_train_step(model, tx, cfg, mesh=None, augment=True)
         key = jax.random.PRNGKey(0)
@@ -91,19 +97,23 @@ def parse_trace(tracedir: str, steps: int, top: int):
                  for e in events if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
     agg = defaultdict(float)
+    cnt = defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             name = e.get("name", "?")
             dur = float(e.get("dur", 0.0))
             agg[name] += dur
+            cnt[name] += 1
             total += dur
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
     print(f"trace: {path}")
     print(f"total device op time: {total/1e3:.2f} ms over {steps} steps "
-          f"({total/1e3/steps:.2f} ms/step)")
+          f"(includes nested/step spans; ms/step below = total/steps, only "
+          f"meaningful when n == steps)")
     for name, dur in rows[:top]:
-        print(f"  {dur/1e3/steps:8.3f} ms/step  {100*dur/max(total,1e-9):5.1f}%  {name[:100]}")
+        print(f"  {dur/1e3/steps:8.3f} ms/step  {100*dur/max(total,1e-9):5.1f}%  "
+              f"n={cnt[name]:3d}  {name[:90]}")
 
 
 def main():
@@ -111,13 +121,17 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--encoder", default="densenet161_bts")
+    ap.add_argument("--dataset", default="kitti")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--tracedir", default="/tmp/bts_profile")
     ap.add_argument("--parse_only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
         os.makedirs(args.tracedir, exist_ok=True)
-        run_workload(args.train, args.remat, args.steps, args.tracedir)
+        run_workload(args.train, args.remat, args.steps, args.tracedir, args.batch,
+                     args.encoder, args.dataset)
     parse_trace(args.tracedir, args.steps, args.top)
 
 
