@@ -113,6 +113,13 @@ def main(argv=None):
         forward; pad samples in the tail batch (loader repeats the last
         sample to keep the jit shape static) are skipped."""
         final = np.asarray(outs[4])
+        # device->host conversion once per batch, not once per sample
+        # (jax.Array.__array__ copies the full tensor on every call)
+        lpgs = (
+            [("8x8", np.asarray(outs[0])), ("4x4", np.asarray(outs[1])), ("2x2", np.asarray(outs[2]))]
+            if cfg.save_lpg
+            else []
+        )
         for j in range(final.shape[0]):
             i = start + j
             if i >= n_total:
@@ -122,10 +129,9 @@ def main(argv=None):
             write_depth_png(os.path.join(out_dir, "raw", name + ".png"), pred, cfg.dataset)
             if cfg.save_cmap:
                 save_cmap_png(os.path.join(out_dir, "cmap", name + ".png"), pred, cfg.max_depth)
-            if cfg.save_lpg:
-                for k, d in (("8x8", outs[0]), ("4x4", outs[1]), ("2x2", outs[2])):
-                    lpg = np.asarray(d)[j, :, :, 0] * cfg.max_depth
-                    write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
+            for k, d in lpgs:
+                lpg = d[j, :, :, 0] * cfg.max_depth
+                write_depth_png(os.path.join(out_dir, f"lpg_{k}", name + ".png"), lpg, cfg.dataset)
             if (i + 1) % 50 == 0:
                 print(f"[bts_tpu] {i + 1}/{n_total}", flush=True)
         return min(start + final.shape[0], n_total)

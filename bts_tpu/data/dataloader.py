@@ -175,6 +175,14 @@ class BtsDataLoader:
         # forwards and ignores pad samples); online_eval stays batch-1 (its
         # per-sample gt geometry varies and metrics are per-image anyway)
         self.batch_size = cfg.batch_size if mode != "online_eval" else 1
+        if mode == "train" and self.n_base < self.batch_size:
+            # train epochs drop the remainder -> a split smaller than one
+            # batch would yield ZERO batches (and steps_per_epoch() would
+            # disagree); fail fast instead of busy-spinning an empty stream
+            raise ValueError(
+                f"{self.n_base} train samples < batch_size {self.batch_size}: "
+                "every epoch would be empty (train mode drops the remainder)"
+            )
         # multi-host DP: every host shuffles with the same seed (identical
         # global order) and loads only its contiguous slice of each global
         # batch; parallel.mesh.shard_batch reassembles the global array
@@ -406,11 +414,15 @@ class BtsDataLoader:
         sentinel = object()
 
         def worker():
+            # surface loader failures to the consumer: a swallowed exception
+            # here would end the stream early and let a training/test run
+            # report success on a fraction of the data
             try:
                 for b in self.batches(num_epochs, start_step):
                     q.put(b)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 - re-raised on consumer side
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -418,4 +430,6 @@ class BtsDataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

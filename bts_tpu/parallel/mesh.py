@@ -98,10 +98,26 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
-    """Batch over ``data``; image/depth height additionally over ``model``."""
+    """Batch over ``data``; image/depth height additionally over ``model``.
+
+    Multi-host: like :func:`shard_batch`, each host holds only its local
+    slice of the global batch, so the global arrays are assembled with
+    ``make_array_from_process_local_data`` (a plain device_put would try to
+    address other hosts' devices and raise).  The ``model`` axis must be
+    host-local (create_mesh lays axes out devices-major), so a host's slice
+    spans the full image height.
+    """
     spatial = spatial_sharding(mesh)
     data = batch_sharding(mesh)
+
+    def put(v, sh):
+        if jax.process_count() == 1:
+            return jax.device_put(v, sh)
+        import numpy as np
+
+        return jax.make_array_from_process_local_data(sh, np.asarray(v))
+
     return {
-        k: jax.device_put(v, spatial if getattr(v, "ndim", 0) >= 3 else data)
+        k: put(v, spatial if getattr(v, "ndim", 0) >= 3 else data)
         for k, v in batch.items()
     }

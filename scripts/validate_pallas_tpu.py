@@ -5,7 +5,10 @@ interpret mode): ``python scripts/validate_pallas_tpu.py``.
 Exits nonzero on mismatch.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -329,6 +329,37 @@ def test_native_loader_raises_on_decode_failure(tmp_path):
         list(loader.prefetched(num_epochs=1))
 
 
+def test_py_prefetch_surfaces_decode_failure(tmp_path):
+    """The Python prefetch worker must re-raise loader exceptions on the
+    consumer side, not end the stream early (a swallowed error would let a
+    run report success on a fraction of the data)."""
+    import pytest
+
+    root = str(tmp_path)
+    split = make_fake_dataset(root, n=2, dataset="nyu")
+    with open(os.path.join(root, "img", "1.png"), "wb") as f:
+        f.write(b"not a png at all")
+    cfg = Config(dataset="nyu", data_path=root, gt_path=root, filenames_file=split,
+                 batch_size=2, do_kb_crop=False, use_native_loader="never")
+    loader = BtsDataLoader(cfg, "train")
+    with pytest.raises(Exception):
+        list(loader.prefetched(num_epochs=1))
+
+
+def test_train_split_smaller_than_batch_rejected(tmp_path):
+    """Train mode drops the remainder, so a split smaller than one batch
+    would silently yield zero batches per epoch — must fail fast."""
+    import pytest
+
+    split = make_fake_dataset(str(tmp_path), n=2)
+    cfg = Config(dataset="kitti", data_path=str(tmp_path), gt_path=str(tmp_path),
+                 filenames_file=split, batch_size=4, do_kb_crop=False)
+    with pytest.raises(ValueError, match="batch_size"):
+        BtsDataLoader(cfg, "train")
+    # test mode pads instead — must construct fine
+    assert BtsDataLoader(cfg, "test").batch_size == 4
+
+
 def test_mid_epoch_resume_sample_exact(tmp_path):
     """Resuming at global step s yields exactly the batches an uninterrupted
     run would have produced from step s on (VERDICT r1: sample-exact resume),
