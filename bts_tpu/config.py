@@ -125,6 +125,11 @@ def build_parser(mode: Optional[str] = None) -> argparse.ArgumentParser:
         default = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(default, bool):
             parser.add_argument(flag, action="store_true", default=default)
+        elif f.name == "batch_size":
+            # sentinel default: the test/sequence drivers run batch-1 like the
+            # reference unless --batch_size is given explicitly (batched
+            # full-res inference quadruples activation HBM — opt-in only)
+            parser.add_argument(flag, type=int, default=None)
         else:
             # dataclass field types arrive as strings under PEP 563
             typ = {int: int, float: float, str: str}[type(default)]
@@ -145,6 +150,10 @@ def parse_args(argv: Optional[List[str]] = None, mode: Optional[str] = None) -> 
         argv = ["@" + argv[0]]
     parser = build_parser(mode)
     ns = parser.parse_args(argv)
+    if ns.batch_size is None:
+        # reference semantics: test/sequence drivers are batch-1 by default
+        # (explicit --batch_size opts into the batched pipelined forward)
+        ns.batch_size = 1 if ns.mode in ("test", "sequence") else Config().batch_size
     cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
     # Reference eval-crop defaults: garg crop for KITTI, eigen crop for NYU,
     # applied when neither flag is given and we are evaluating.

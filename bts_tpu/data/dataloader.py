@@ -52,12 +52,21 @@ def parse_filenames_file(path: str, data_path: str = "", gt_path: str = "", use_
     loader implements the reference's ``--use_right`` semantics (random
     per-sample camera choice) by parsing both variants and picking one per
     sample per epoch under the loader RNG — see BtsDataLoader._epoch_order.
+
+    One extension beyond the reference format: a line whose FIRST CHARACTER
+    (column 0) is ``#`` is skipped — the in-repo stub split files
+    (train_test_inputs/, see its README) carry a provenance banner.  No
+    reference split line can start with ``#`` (they start with a relative
+    image path), and indented/mid-line ``#`` is NOT treated as a comment, so
+    reference files parse unmodified.
     """
     samples = []
     with open(path) as f:
         for line in f:
+            if line.startswith("#"):
+                continue
             parts = line.split()
-            if not parts or parts[0].startswith("#"):
+            if not parts:
                 continue
             img = parts[0]
             depth = parts[1] if len(parts) > 1 and parts[1] != "None" else None
@@ -409,27 +418,53 @@ class BtsDataLoader:
     def _py_prefetched(
         self, num_epochs: Optional[int] = None, depth: int = 2, start_step: int = 0
     ) -> Iterator[dict]:
-        """Python fallback: PIL decode under a background prefetch thread."""
+        """Python fallback: PIL decode under a background prefetch thread.
+
+        Closing (or abandoning) this generator stops the worker and closes
+        the underlying :meth:`batches` generator, so its decode thread-pool
+        is shut down even when the infinite train stream is dropped
+        mid-epoch (Trainer.run returning after ``remaining`` steps) — a
+        worker blocked on ``q.put`` must not pin the pool plus an in-flight
+        batch for the rest of the process.
+        """
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        stop = threading.Event()
+
+        def guarded_put(item) -> bool:
+            """Put unless the consumer is gone; True if the item was queued."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # surface loader failures to the consumer: a swallowed exception
             # here would end the stream early and let a training/test run
             # report success on a fraction of the data
+            gen = self.batches(num_epochs, start_step)
             try:
-                for b in self.batches(num_epochs, start_step):
-                    q.put(b)
-                q.put(sentinel)
+                for b in gen:
+                    if not guarded_put(b):
+                        return
+                guarded_put(sentinel)
             except BaseException as e:  # noqa: BLE001 - re-raised on consumer side
-                q.put(e)
+                guarded_put(e)
+            finally:
+                gen.close()  # shuts down the decode ThreadPoolExecutor
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -58,12 +58,26 @@ def decode_record(buf: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
     """
     from PIL import Image
 
+    # validate framing before decode: a truncated/corrupt payload should
+    # fail HERE with a framing message, not as a cryptic struct/PIL error
+    # deep inside the prefetch thread
+    if len(buf) < 4:
+        raise ValueError(f"record truncated: {len(buf)} bytes (< 4-byte header)")
     (img_len,) = struct.unpack_from("<I", buf, 0)
     off = 4
+    if off + img_len + 4 > len(buf):
+        raise ValueError(
+            f"record truncated: img_len {img_len} overruns {len(buf)}-byte payload"
+        )
     image = np.asarray(Image.open(io.BytesIO(buf[off : off + img_len])).convert("RGB"), np.uint8)
     off += img_len
     (depth_len,) = struct.unpack_from("<I", buf, off)
     off += 4
+    if off + depth_len + 4 != len(buf):
+        raise ValueError(
+            f"record framing mismatch: expected {off + depth_len + 4} bytes "
+            f"(img {img_len} + depth {depth_len} + focal), payload has {len(buf)}"
+        )
     depth = None
     if depth_len:
         depth = np.array(Image.open(io.BytesIO(buf[off : off + depth_len])))
@@ -115,10 +129,33 @@ class RecordSource:
         files = sorted(glob.glob(pattern)) if any(c in pattern for c in "*?[") else [pattern]
         if not files or not all(os.path.exists(f) for f in files):
             raise FileNotFoundError(f"no ArrayRecord shards match {pattern!r}")
+        self._files = files
         self._source = ArrayRecordDataSource(files)
 
     def __len__(self) -> int:
         return len(self._source)
 
+    def _locate(self, index: int) -> str:
+        """Best-effort 'shard[local_index]' label for error messages."""
+        try:
+            from array_record.python.array_record_module import ArrayRecordReader
+
+            remaining = index
+            for f in self._files:
+                reader = ArrayRecordReader(f)
+                n = reader.num_records()
+                reader.close()
+                if remaining < n:
+                    return f"{f}[{remaining}]"
+                remaining -= n
+        except Exception:
+            pass
+        return f"record {index} of {self._files}"
+
     def read(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
-        return decode_record(self._source[index])
+        try:
+            return decode_record(self._source[index])
+        except Exception as e:
+            # name the shard + local record so a bad shard is findable among
+            # thousands without bisecting the global index space
+            raise RuntimeError(f"failed to decode {self._locate(index)}: {e}") from e

@@ -53,6 +53,7 @@ def make_train_step(
     mesh=None,
     augment: bool = True,
     spatial: bool = False,
+    lr_schedule: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
@@ -136,6 +137,11 @@ def make_train_step(
             "depth_mean": final.mean(),
             "grad_norm": optax.global_norm(grads),
         }
+        if lr_schedule is not None:
+            # the poly-decay lr actually applied this step (reference logs lr
+            # to TensorBoard, SURVEY.md §2.1 — the first thing checked when a
+            # run misbehaves)
+            metrics["learning_rate"] = lr_schedule(state.step)
         return new_state, metrics
 
     if mesh is None:
@@ -243,10 +249,13 @@ class Trainer:
         self.mesh = mesh
         self.spatial = spatial
         self.total_steps = total_steps
-        from bts_tpu.training.optimizer import make_optimizer
+        from bts_tpu.training.optimizer import make_optimizer, polynomial_schedule
 
         self.tx = make_optimizer(cfg, total_steps)
-        self.train_step = make_train_step(model, self.tx, cfg, mesh, augment, spatial)
+        sched = polynomial_schedule(cfg.learning_rate, cfg.end_lr, total_steps)
+        self.train_step = make_train_step(
+            model, self.tx, cfg, mesh, augment, spatial, lr_schedule=sched
+        )
         # --seed: base key for the per-step augment/dropout PRNG (fold_in of
         # the step index keeps it reproducible regardless of host timing)
         self.base_key = jax.random.PRNGKey(cfg.seed)
@@ -290,33 +299,40 @@ class Trainer:
 
         start_step = int(state.step)  # one sync up front, none in the loop
 
-        for i, batch in enumerate(batches):
-            if i >= num_steps:
-                break
-            # --profile: trace steps 10..15 (past compile + warm-up) into the
-            # TensorBoard profile plugin format
-            if profile_dir is not None and i == 10:
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir is not None and i == 15:
-                jax.tree.map(lambda x: x.block_until_ready(), state.params)
-                jax.profiler.stop_trace()
-                print(f"[bts_tpu] profile written to {profile_dir}")
-            if self.mesh is not None:
-                batch = (
-                    shard_batch_spatial(batch, self.mesh)
-                    if self.spatial
-                    else shard_batch(batch, self.mesh)
-                )
-            state, metrics = self.train_step(state, batch, self.base_key)
-            # host-side step counter: int(state.step) would force a device
-            # sync every iteration and stall the async dispatch pipeline
-            step = start_step + i + 1
-            if on_metrics is not None and (step % self.cfg.log_freq == 0 or i == 0):
-                on_metrics(step, jax.device_get(metrics), state)
-            if on_save is not None and step % self.cfg.save_freq == 0:
-                on_save(step, state)
-            # independent cadence (the reference evaluates every eval_freq
-            # steps, not only on checkpoint steps)
-            if on_eval is not None and step % self.cfg.eval_freq == 0:
-                on_eval(step, state)
+        try:
+            for i, batch in enumerate(batches):
+                if i >= num_steps:
+                    break
+                # --profile: trace steps 10..15 (past compile + warm-up) into
+                # the TensorBoard profile plugin format
+                if profile_dir is not None and i == 10:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir is not None and i == 15:
+                    jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                    jax.profiler.stop_trace()
+                    print(f"[bts_tpu] profile written to {profile_dir}")
+                if self.mesh is not None:
+                    batch = (
+                        shard_batch_spatial(batch, self.mesh)
+                        if self.spatial
+                        else shard_batch(batch, self.mesh)
+                    )
+                state, metrics = self.train_step(state, batch, self.base_key)
+                # host-side step counter: int(state.step) would force a device
+                # sync every iteration and stall the async dispatch pipeline
+                step = start_step + i + 1
+                if on_metrics is not None and (step % self.cfg.log_freq == 0 or i == 0):
+                    on_metrics(step, jax.device_get(metrics), state)
+                if on_save is not None and step % self.cfg.save_freq == 0:
+                    on_save(step, state)
+                # independent cadence (the reference evaluates every eval_freq
+                # steps, not only on checkpoint steps)
+                if on_eval is not None and step % self.cfg.eval_freq == 0:
+                    on_eval(step, state)
+        finally:
+            # the train stream is usually infinite — close it so the loader's
+            # prefetch thread and decode pool shut down when we stop early
+            close = getattr(batches, "close", None)
+            if close is not None:
+                close()
         return state
