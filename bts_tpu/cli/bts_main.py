@@ -39,12 +39,16 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
     pixels as bts_eval.py and the published protocol — masking the cropped
     gt directly would shift the evaluated region.
 
-    Pipelined three ways (the reference's online_eval is a serial batch-1
-    loop): a prefetch thread decodes image+gt PNGs ahead of the device, the
-    forward for sample i+1 is dispatched asynchronously before the host
-    computes metrics for sample i, and the device->host copy of prediction i
-    overlaps forward i+1.  On the real 697-image KITTI split this keeps the
-    chip busy instead of idling on per-sample PNG decodes.
+    Batched AND pipelined (the reference's online_eval is a serial batch-1
+    loop): input images share a static eval geometry (KB crop / full NYU
+    frame), so they are forwarded ``--batch_size`` at a time with the tail
+    batch padded by repeating the last sample (static jit shape; pad
+    predictions are dropped) — b1 full-res inference is the least efficient
+    shape on this bandwidth-bound model (77 vs 97 img/s measured).  A
+    prefetch thread decodes image+gt PNGs ahead of the device, and the
+    forward for batch i+1 is dispatched asynchronously before the host
+    computes metrics for batch i.  Per-sample gt stays on host at its own
+    resolution — metrics are per-image and gt shapes may vary.
     """
     if not cfg.filenames_file_eval:
         print("[bts_tpu] --do_online_eval needs --filenames_file_eval; skipping")
@@ -63,16 +67,41 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
         samples = samples[:max_samples]
     samples = [s for s in samples if s.depth_path is not None]
 
-    q: queue.Queue = queue.Queue(maxsize=4)
+    # batching requires a static input geometry; raw (un-KB-cropped) KITTI
+    # frames vary in size across drives, so that path stays batch-1
+    bs = max(1, cfg.batch_size)
+    if cfg.dataset == "kitti" and not cfg.do_kb_crop:
+        bs = 1
+
+    q: queue.Queue = queue.Queue(maxsize=2)
 
     def producer():
         try:
+            buf = []
+
+            def flush(count):
+                while len(buf) < bs:  # pad tail (static jit shape)
+                    buf.append(buf[-1])
+                q.put(
+                    (
+                        np.stack([x[0] for x in buf]),
+                        np.array([x[1] for x in buf], np.float32),
+                        [x[2] for x in buf],
+                        count,
+                    )
+                )
+                buf.clear()
+
             for s in samples:
                 img, _, focal = load_sample(
                     s, cfg.dataset, cfg.do_kb_crop, need_depth=False, border_crop=False
                 )
                 gt = depth_from_png(np.array(Image.open(s.depth_path)), cfg.dataset)
-                q.put((img, focal, gt))
+                buf.append((img, focal, gt))
+                if len(buf) == bs:
+                    flush(bs)
+            if buf:
+                flush(len(buf))
         except Exception as e:  # surface loader errors on the consumer side
             q.put(e)
         q.put(None)
@@ -81,13 +110,15 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
 
     accum = []
 
-    def finish(pred_dev, gt):
-        pred = np.asarray(pred_dev)[0]
-        if cfg.do_kb_crop:
-            pred = pad_pred_to_gt(pred, gt.shape, cfg)
-        errs = masked_errors(gt, pred, cfg)
-        if errs is not None:
-            accum.append(errs)
+    def finish(pred_dev, gts, count):
+        preds = np.asarray(pred_dev)  # one device->host copy per batch
+        for j in range(count):
+            pred, gt = preds[j], gts[j]
+            if cfg.do_kb_crop:
+                pred = pad_pred_to_gt(pred, gt.shape, cfg)
+            errs = masked_errors(gt, pred, cfg)
+            if errs is not None:
+                accum.append(errs)
 
     pending = None
     while True:
@@ -96,16 +127,13 @@ def online_eval(eval_step, state, cfg: Config, max_samples: int = 0):
             break
         if isinstance(item, Exception):
             raise item
-        img, focal, gt = item
+        imgs, focals, gts, count = item
         pred_dev = eval_step(
-            state.params,
-            state.batch_stats,
-            jnp.asarray(img[None]),
-            jnp.full((1,), focal, jnp.float32),
+            state.params, state.batch_stats, jnp.asarray(imgs), jnp.asarray(focals)
         )
         if pending is not None:
             finish(*pending)
-        pending = (pred_dev, gt)
+        pending = (pred_dev, gts, count)
     if pending is not None:
         finish(*pending)
     return np.mean(np.stack(accum), axis=0) if accum else None

@@ -54,12 +54,22 @@ class BtsDecoder(nn.Module):
     num_features: int = 512
     dtype: Any = jnp.float32
     use_pallas: str = "auto"
+    # EXPERIMENTAL (perf measurement only, scripts/exp_lanepad.py): zero-pad
+    # the 1-channel LPG guidance maps to this many lanes before each decoder
+    # concat (targets the measured ~21% relayout-copy tax of the b1 forward).
+    # CHANGES THE PARAM TREE (conv cin grows) — never enable on checkpoints.
+    lane_pad: int = 0
 
     @nn.compact
     def __call__(self, feats, train: bool = False, focal: Optional[jnp.ndarray] = None):
         skip2, skip4, skip8, skip16, bottleneck = feats
         nf = self.num_features
         dt = self.dtype
+
+        def padmap(m):
+            if self.lane_pad <= 1:
+                return m
+            return jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, self.lane_pad - 1)))
 
         dense_features = nn.relu(bottleneck)
         upconv5 = UpConv(nf, dtype=dt)(dense_features)  # H/16
@@ -101,7 +111,7 @@ class BtsDecoder(nn.Module):
 
         upconv3 = UpConv(nf // 4, dtype=dt)(daspp_feat)  # H/4
         upconv3 = BatchNorm(dtype=dt)(upconv3, train)
-        concat3 = jnp.concatenate([upconv3, skip4, depth_8x8_ds], axis=-1)
+        concat3 = jnp.concatenate([upconv3, skip4, padmap(depth_8x8_ds)], axis=-1)
         iconv3 = ConvBlock(nf // 4, dtype=dt)(concat3)
 
         # LPG head at 1/4
@@ -113,7 +123,7 @@ class BtsDecoder(nn.Module):
 
         upconv2 = UpConv(nf // 8, dtype=dt)(iconv3)  # H/2
         upconv2 = BatchNorm(dtype=dt)(upconv2, train)
-        concat2 = jnp.concatenate([upconv2, skip2, depth_4x4_ds], axis=-1)
+        concat2 = jnp.concatenate([upconv2, skip2, padmap(depth_4x4_ds)], axis=-1)
         iconv2 = ConvBlock(nf // 8, dtype=dt)(concat2)
 
         # LPG head at 1/2
@@ -128,10 +138,10 @@ class BtsDecoder(nn.Module):
         concat1 = jnp.concatenate(
             [
                 upconv1,
-                depth_1x1.astype(dt),
-                depth_2x2_scaled.astype(dt),
-                depth_4x4_scaled.astype(dt),
-                depth_8x8_scaled.astype(dt),
+                padmap(depth_1x1.astype(dt)),
+                padmap(depth_2x2_scaled.astype(dt)),
+                padmap(depth_4x4_scaled.astype(dt)),
+                padmap(depth_8x8_scaled.astype(dt)),
             ],
             axis=-1,
         )
@@ -161,6 +171,7 @@ class BtsModel(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: str = "auto"
     remat: bool = False  # rematerialize encoder blocks (large-batch training)
+    lane_pad: int = 0  # EXPERIMENTAL — see BtsDecoder.lane_pad
 
     @nn.compact
     def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
@@ -172,6 +183,7 @@ class BtsModel(nn.Module):
             num_features=self.num_features,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            lane_pad=self.lane_pad,
         )(feats, train, focal)
 
 

@@ -24,8 +24,22 @@ reduction back to the (h, w) grid is the transposed selector matmuls.
 Division is computed in f32 regardless of input dtype (bf16 plane params
 lose ~2 digits in the denominator; parity target abs_rel <= 1e-3).
 
-Correctness is pinned two ways: interpret-mode tests in tests/test_ops.py
-(CPU CI) and the real-TPU check in scripts/validate_pallas_tpu.py.
+Spatial sharding (``--spatial_shards``): a bare ``pallas_call`` has no
+partitioning rule, so GSPMD would replicate it (or fail) inside a
+height-sharded program — defeating the point of sharding full-res
+activations.  Both kernels are therefore wrapped in
+``jax.experimental.custom_partitioning`` with a Shardy sharding rule
+``b h w -> b (h k)(w k)``: batch and the plane grid's h/w rows shard
+freely, each device runs the kernel on its local block, and the output
+H = h*k rows inherit the h sharding (contiguous N-way split of H is
+exactly an N-way split of the cell grid).  Sharded dims must divide
+evenly — the partition callback checks and raises with the
+``--spatial_shards`` constraint spelled out.
+
+Correctness is pinned three ways: interpret-mode tests in tests/test_ops.py
+(CPU CI), sharded-vs-unsharded parity on the 8-device CPU mesh
+(tests/test_spatial_sharding.py), and the real-TPU check in
+scripts/validate_pallas_tpu.py.
 """
 
 from __future__ import annotations
@@ -37,6 +51,7 @@ import jax.numpy as jnp
 
 try:  # pallas imports fail gracefully on unsupported backends
     from jax.experimental import pallas as pl
+    from jax.experimental.custom_partitioning import custom_partitioning
 
     _PALLAS_IMPORTED = True
 except Exception:  # pragma: no cover
@@ -144,21 +159,14 @@ def _plane_components(plane_eq):
     return pe[..., 0], pe[..., 1], pe[..., 2], pe[..., 3]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def lpg(plane_eq: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Pallas LPG: plane_eq (B, h, w, 4) -> depth (B, h*k, w*k), f32."""
-    return _lpg_fwd_impl(plane_eq, k)
-
-
-def _lpg_fwd_impl(plane_eq, k):
-    b, h, w, _ = plane_eq.shape
-    n1, n2, n3, n4 = _plane_components(plane_eq)
-    grid = (b,)
+def _fwd_call(n1, n2, n3, n4, *, k: int):
+    """The raw forward pallas_call on (local) (b, h, w) components."""
+    b, h, w = n1.shape
     in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
     out_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, k=k),
-        grid=grid,
+        grid=(b,),
         in_specs=[in_spec] * 4,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h * k, w * k), jnp.float32),
@@ -171,18 +179,13 @@ def _lpg_fwd_impl(plane_eq, k):
     )(n1, n2, n3, n4)
 
 
-def _lpg_fwd(plane_eq, k):
-    out = _lpg_fwd_impl(plane_eq, k)
-    return out, plane_eq
-
-
-def _lpg_bwd(k, plane_eq, g):
-    b, h, w, _ = plane_eq.shape
-    n1, n2, n3, n4 = _plane_components(plane_eq)
+def _bwd_call(n1, n2, n3, n4, g, *, k: int):
+    """The raw backward pallas_call on (local) shards; returns d(n1..n4)."""
+    b, h, w = n1.shape
     in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
     g_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
     out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.float32)
-    d1, d2, d3, d4 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, k=k),
         grid=(b,),
         in_specs=[in_spec] * 4 + [g_spec],
@@ -195,6 +198,124 @@ def _lpg_bwd(k, plane_eq, g):
             transcendentals=0,
         ),
     )(n1, n2, n3, n4, g.astype(jnp.float32))
+
+
+def _check_divisible(arg_shapes, k: int):
+    """Fail fast when a sharded plane-grid dim does not divide evenly.
+
+    GSPMD pads uneven shards for opaque custom calls; padded plane cells
+    would silently produce garbage depth rows, so refuse instead.  The
+    practical constraint: ``input_height/(8*spatial_shards)`` (the coarsest
+    LPG head) must be an integer.
+    """
+    for s in jax.tree.leaves(arg_shapes):
+        sharding = s.sharding
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            continue
+        mesh_shape = sharding.mesh.shape
+        for dim, (size, axes) in enumerate(zip(s.shape, spec)):
+            if axes is None:
+                continue
+            axes = axes if isinstance(axes, tuple) else (axes,)
+            n = 1
+            for a in axes:
+                n *= mesh_shape[a]
+            if size % n:
+                raise ValueError(
+                    f"Pallas LPG (k={k}): dim {dim} of plane grid {s.shape} is "
+                    f"sharded {n}-way but {size} % {n} != 0 — choose "
+                    f"--spatial_shards so input_height/(8*shards) is an integer"
+                )
+
+
+def _make_partition(call, k: int):
+    """custom_partitioning ``partition`` callback: run ``call`` per shard."""
+
+    def lower_fn(*args):
+        return call(*args, k=k)
+
+    def partition(mesh, arg_shapes, result_shape):
+        _check_divisible(arg_shapes, k)
+        arg_shardings = jax.tree.map(lambda s: s.sharding, arg_shapes)
+        result_shardings = jax.tree.map(lambda s: s.sharding, result_shape)
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    return partition
+
+
+def _infer_fwd(k):
+    """Legacy-GSPMD path (shardy reads sharding_rule instead)."""
+
+    def infer(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, arg_shapes[0].sharding.spec)
+        return jax.tree.map(lambda _: sh, result_shape)
+
+    return infer
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(k: int):
+    """Shardy-partitionable forward: (n1..n4)(b,h,w) -> depth (b,h*k,w*k).
+
+    The compound result factors ``(h ek)``/``(w ew)`` tie a contiguous
+    N-way split of the full-res H to the same split of the cell grid h —
+    exactly what ``--spatial_shards`` produces.
+    """
+    def fwd(n1, n2, n3, n4):  # positional-only surface for custom_partitioning
+        return _fwd_call(n1, n2, n3, n4, k=k)
+
+    fn = custom_partitioning(fwd)
+    fn.def_partition(
+        partition=_make_partition(_fwd_call, k),
+        infer_sharding_from_operands=_infer_fwd(k),
+        sharding_rule="b h w, b h w, b h w, b h w -> b (h ek) (w ew)",
+        ek=k,
+        ew=k,
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(k: int):
+    def bwd(n1, n2, n3, n4, g):
+        return _bwd_call(n1, n2, n3, n4, g, k=k)
+
+    fn = custom_partitioning(bwd)
+    fn.def_partition(
+        partition=_make_partition(_bwd_call, k),
+        infer_sharding_from_operands=_infer_fwd(k),
+        sharding_rule=(
+            "b h w, b h w, b h w, b h w, b (h ek) (w ew) "
+            "-> b h w, b h w, b h w, b h w"
+        ),
+        ek=k,
+        ew=k,
+    )
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def lpg(plane_eq: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Pallas LPG: plane_eq (B, h, w, 4) -> depth (B, h*k, w*k), f32."""
+    return _lpg_fwd_impl(plane_eq, k)
+
+
+def _lpg_fwd_impl(plane_eq, k):
+    n1, n2, n3, n4 = _plane_components(plane_eq)
+    return _fwd_partitioned(k)(n1, n2, n3, n4)
+
+
+def _lpg_fwd(plane_eq, k):
+    out = _lpg_fwd_impl(plane_eq, k)
+    return out, plane_eq
+
+
+def _lpg_bwd(k, plane_eq, g):
+    n1, n2, n3, n4 = _plane_components(plane_eq)
+    d1, d2, d3, d4 = _bwd_partitioned(k)(n1, n2, n3, n4, g.astype(jnp.float32))
     dplane = jnp.stack([d1, d2, d3, d4], axis=-1).astype(plane_eq.dtype)
     return (dplane,)
 

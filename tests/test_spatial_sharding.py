@@ -121,3 +121,111 @@ def test_spatial_train_matches_single():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_pallas_lpg_spatial_sharding():
+    """The Pallas LPG kernel runs INSIDE a spatially-sharded program.
+
+    A bare pallas_call has no GSPMD partitioning rule; ops/lpg_pallas wraps
+    both kernels in custom_partitioning (Shardy rule ``b h w -> b (h k)(w k)``)
+    so the default TPU config (--spatial_shards N + use_pallas) is exercised
+    here in interpret mode: forward AND custom-VJP backward, sharded over
+    (data, model), must match the unsharded jnp oracle.
+    """
+    from bts_tpu.ops import lpg_pallas
+    from bts_tpu.ops.lpg import lpg_reference
+
+    old = lpg_pallas._INTERPRET
+    lpg_pallas._INTERPRET = True
+    try:
+        mesh = create_mesh(model_axis=4)  # 2 data x 4 model
+        rng = np.random.default_rng(1)
+        b, h, w, k = 2, 8, 12, 8
+        plane = rng.normal(size=(b, h, w, 4)).astype(np.float32)
+        plane[..., 2] += 3.0  # denominators away from zero
+        g = rng.normal(size=(b, h * k, w * k)).astype(np.float32)
+
+        def fwd_sum(p):
+            return (lpg_pallas.lpg(p, k) * g).sum()
+
+        ref_out = lpg_reference(jnp.asarray(plane), k)
+        ref_grad = jax.grad(lambda p: (lpg_reference(p, k) * g).sum())(
+            jnp.asarray(plane)
+        )
+
+        sp_in = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data", "model"))
+        repl = replicated_sharding(mesh)
+        out_fn = jax.jit(
+            lambda p: lpg_pallas.lpg(p, k),
+            in_shardings=sp_in,
+            out_shardings=jax.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data", "model")
+            ),
+        )
+        p_sh = jax.device_put(jnp.asarray(plane), sp_in)
+        out = out_fn(p_sh)
+        # rtol 2e-5: interpret-mode fma ordering differs from the broadcast
+        # oracle in the last ulps near small denominators
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5)
+
+        grad_fn = jax.jit(jax.grad(fwd_sum), in_shardings=sp_in, out_shardings=repl)
+        grad = grad_fn(p_sh)
+        np.testing.assert_allclose(
+            np.asarray(grad), np.asarray(ref_grad), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        lpg_pallas._INTERPRET = old
+
+
+def test_pallas_lpg_uneven_shard_raises():
+    """Uneven plane-grid sharding must fail fast, not pad silently."""
+    import pytest
+
+    from bts_tpu.ops import lpg_pallas
+
+    old = lpg_pallas._INTERPRET
+    lpg_pallas._INTERPRET = True
+    try:
+        mesh = create_mesh(model_axis=4)
+        # h=6 cells over 4 model shards: 6 % 4 != 0
+        plane = jnp.ones((2, 6, 8, 4))
+        sp_in = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data", "model"))
+        fn = jax.jit(lambda p: lpg_pallas.lpg(p, 4), in_shardings=sp_in)
+        with pytest.raises(Exception, match="spatial_shards|sharded|divis"):
+            fn(jax.device_put(plane, sp_in)).block_until_ready()
+    finally:
+        lpg_pallas._INTERPRET = old
+
+
+def test_spatial_eval_with_pallas_interpret():
+    """make_eval_step(spatial=True) with use_pallas='always' (interpret):
+    the shipped --spatial_shards TPU configuration end to end."""
+    from bts_tpu.ops import lpg_pallas
+
+    old = lpg_pallas._INTERPRET
+    lpg_pallas._INTERPRET = True
+    try:
+        cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                     bts_size=64, compute_dtype="float32", use_pallas="always")
+        model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                         num_features=cfg.bts_size, use_pallas="always")
+        h, w = 64, 96
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), False)
+        params, stats = variables["params"], variables["batch_stats"]
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+
+        single = make_eval_step(model, cfg)
+        ref = np.asarray(single(params, stats, jnp.asarray(images)))
+
+        mesh = create_mesh(model_axis=4)
+        repl = replicated_sharding(mesh)
+        sharded_step = make_eval_step(model, cfg, mesh=mesh, spatial=True)
+        out = sharded_step(
+            jax.device_put(params, repl),
+            jax.device_put(stats, repl),
+            jax.device_put(jnp.asarray(images), spatial_sharding(mesh)),
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    finally:
+        lpg_pallas._INTERPRET = old
