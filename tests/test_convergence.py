@@ -83,3 +83,114 @@ def test_training_fits_synthetic_scene():
     # eval-mode BN uses the 0.99-momentum running averages, which still lag
     # the batch statistics after 300 steps — bound is loose accordingly
     assert abs_rel.mean() < 0.25, f"abs_rel {abs_rel.mean():.3f} after fit"
+
+
+def _register_tiny_densenet():
+    """Reduced DenseNet (growth 8, blocks 2/2/2/2) — same BN/concat topology
+    as the flagship densenet161 path at test-runnable size (the ad-hoc
+    registration pattern test_tf_parity.py uses)."""
+    from bts_tpu.models.encoders import ENCODERS
+
+    growth, blocks, init_f = 8, (2, 2, 2, 2), 16
+    ENCODERS.setdefault(
+        "tiny_densenet_bts",
+        dict(
+            cls=ENCODERS["densenet121_bts"]["cls"],
+            kwargs=dict(growth_rate=growth, block_config=blocks, num_init_features=init_f),
+            channels=(init_f, init_f, (init_f + growth * blocks[0]) // 2, 0, 0),
+        ),
+    )
+
+
+def _scene(h=64, w=64):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    depth = 2.0 + 6.0 * (yy / h).astype(np.float32)
+    depth[16:40, 20:44] = 1.5
+    img = np.stack([depth / 10.0 * 255] * 3, -1).astype(np.uint8)
+    return img, depth
+
+
+@pytest.mark.slow
+def test_densenet_remat_fits_synthetic_scene():
+    """Loss collapse through a DenseNet encoder WITH --remat: the flagship
+    path's BN/concat topology + rematerialized backward (VERDICT r2 item 5;
+    the mobilenetv2 fit above does not exercise dense concat chains or the
+    checkpoint policy)."""
+    _register_tiny_densenet()
+    h = w = 64
+    img, depth = _scene(h, w)
+    cfg = Config(
+        dataset="nyu", encoder="tiny_densenet_bts", max_depth=10.0, bts_size=64,
+        input_height=h, input_width=w, batch_size=2, learning_rate=3e-4,
+        num_epochs=1, compute_dtype="float32", do_random_rotate=False,
+        remat=True, seed=0,
+    )
+    model = create_model(cfg)
+    assert model.remat
+    tx = make_optimizer(cfg, total_steps=300)
+    variables = jax.jit(lambda k, x: model.init(k, x, True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3))
+    )
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, cfg, mesh=None, augment=False)
+    batch = {
+        "image": jnp.asarray(np.stack([img, img])),
+        "depth": jnp.asarray(np.stack([depth, depth])),
+        "focal": jnp.full((2,), 518.8579, jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(300):
+        state, metrics = step(state, batch, key)
+        if i == 0:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first / 3.0, f"loss did not fit: {first:.4f} -> {last:.4f}"
+
+
+@pytest.mark.slow
+def test_densenet_spatial_remat_fits_synthetic_scene():
+    """Loss collapse with --spatial_shards (H over the model mesh axis) AND
+    --remat through the DenseNet path — the flag combination a real
+    large-resolution run would use (VERDICT r2 item 5)."""
+    from bts_tpu.parallel.mesh import (
+        create_mesh,
+        replicated_sharding,
+        shard_batch_spatial,
+    )
+
+    _register_tiny_densenet()
+    h = w = 64
+    img, depth = _scene(h, w)
+    cfg = Config(
+        dataset="nyu", encoder="tiny_densenet_bts", max_depth=10.0, bts_size=64,
+        input_height=h, input_width=w, batch_size=2, learning_rate=3e-4,
+        num_epochs=1, compute_dtype="float32", do_random_rotate=False,
+        remat=True, spatial_shards=4, seed=0,
+    )
+    model = create_model(cfg)
+    tx = make_optimizer(cfg, total_steps=200)
+    variables = jax.jit(lambda k, x: model.init(k, x, True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3))
+    )
+    mesh = create_mesh(model_axis=4)  # 2 data x 4 model over 8 CPU devices
+    state = jax.device_put(TrainState.create(variables, tx), replicated_sharding(mesh))
+    step = make_train_step(model, tx, cfg, mesh=mesh, augment=False, spatial=True)
+    batch = shard_batch_spatial(
+        {
+            "image": np.stack([img, img]),
+            "depth": np.stack([depth, depth]),
+            "focal": np.full((2,), 518.8579, np.float32),
+        },
+        mesh,
+    )
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(200):
+        state, metrics = step(state, batch, key)
+        if i == 0:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first / 3.0, f"loss did not fit: {first:.4f} -> {last:.4f}"
