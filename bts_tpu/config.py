@@ -82,6 +82,7 @@ class Config:
     profile: bool = False  # jax.profiler trace of steps 10..15 into log dir
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN (sanitizer)
     remat: bool = False  # rematerialize encoder blocks (fit larger batches)
+    remat_policy: str = "layer"  # layer | block | convs (DenseNet remat granularity)
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)

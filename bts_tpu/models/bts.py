@@ -54,6 +54,9 @@ class BtsDecoder(nn.Module):
     num_features: int = 512
     dtype: Any = jnp.float32
     use_pallas: str = "auto"
+    # fused lhs-dilated upsample-conv (layers._DilatedUpConv); False keeps
+    # the literal upsample->conv two-op form (equivalence tests / fallback)
+    fused_upconv: bool = True
     # EXPERIMENTAL (perf measurement only, scripts/exp_lanepad.py): zero-pad
     # the 1-channel LPG guidance maps to this many lanes before each decoder
     # concat (targets the measured ~21% relayout-copy tax of the b1 forward).
@@ -71,13 +74,14 @@ class BtsDecoder(nn.Module):
                 return m
             return jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, self.lane_pad - 1)))
 
+        up = lambda f: UpConv(f, dtype=dt, fused=self.fused_upconv)
         dense_features = nn.relu(bottleneck)
-        upconv5 = UpConv(nf, dtype=dt)(dense_features)  # H/16
+        upconv5 = up(nf)(dense_features)  # H/16
         upconv5 = BatchNorm(dtype=dt)(upconv5, train)
         concat5 = jnp.concatenate([upconv5, skip16], axis=-1)
         iconv5 = ConvBlock(nf, dtype=dt)(concat5)
 
-        upconv4 = UpConv(nf // 2, dtype=dt)(iconv5)  # H/8
+        upconv4 = up(nf // 2)(iconv5)  # H/8
         upconv4 = BatchNorm(dtype=dt)(upconv4, train)
         concat4 = jnp.concatenate([upconv4, skip8], axis=-1)
         iconv4 = ConvBlock(nf // 2, dtype=dt)(concat4)
@@ -109,7 +113,7 @@ class BtsDecoder(nn.Module):
         # full-res gather/relayout; see ops.lpg.lpg_strided)
         depth_8x8_ds = (lpg_strided(plane8, 8, 4) / self.max_depth)[..., None].astype(dt)
 
-        upconv3 = UpConv(nf // 4, dtype=dt)(daspp_feat)  # H/4
+        upconv3 = up(nf // 4)(daspp_feat)  # H/4
         upconv3 = BatchNorm(dtype=dt)(upconv3, train)
         concat3 = jnp.concatenate([upconv3, skip4, padmap(depth_8x8_ds)], axis=-1)
         iconv3 = ConvBlock(nf // 4, dtype=dt)(concat3)
@@ -121,7 +125,7 @@ class BtsDecoder(nn.Module):
         depth_4x4_scaled = (depth_4x4 / self.max_depth)[..., None]
         depth_4x4_ds = (lpg_strided(plane4, 4, 2) / self.max_depth)[..., None].astype(dt)
 
-        upconv2 = UpConv(nf // 8, dtype=dt)(iconv3)  # H/2
+        upconv2 = up(nf // 8)(iconv3)  # H/2
         upconv2 = BatchNorm(dtype=dt)(upconv2, train)
         concat2 = jnp.concatenate([upconv2, skip2, padmap(depth_4x4_ds)], axis=-1)
         iconv2 = ConvBlock(nf // 8, dtype=dt)(concat2)
@@ -132,7 +136,7 @@ class BtsDecoder(nn.Module):
         depth_2x2 = local_planar_guidance(plane2, 2, self.use_pallas)
         depth_2x2_scaled = (depth_2x2 / self.max_depth)[..., None]
 
-        upconv1 = UpConv(nf // 16, dtype=dt)(iconv2)  # H
+        upconv1 = up(nf // 16)(iconv2)  # H
         depth_1x1 = Reduction1x1(nf // 32, is_final=True, dtype=dt)(upconv1)
         depth_1x1 = nn.sigmoid(depth_1x1.astype(jnp.float32))
         concat1 = jnp.concatenate(
@@ -171,18 +175,24 @@ class BtsModel(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: str = "auto"
     remat: bool = False  # rematerialize encoder blocks (large-batch training)
+    remat_policy: str = "layer"  # layer | block | convs (DenseNet granularity)
+    fused_upconv: bool = True  # see BtsDecoder.fused_upconv
     lane_pad: int = 0  # EXPERIMENTAL — see BtsDecoder.lane_pad
 
     @nn.compact
     def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
-        feats = build_encoder(self.encoder_name, dtype=self.dtype, remat=self.remat)(
-            image.astype(self.dtype), train
-        )
+        feats = build_encoder(
+            self.encoder_name,
+            dtype=self.dtype,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+        )(image.astype(self.dtype), train)
         return BtsDecoder(
             max_depth=self.max_depth,
             num_features=self.num_features,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            fused_upconv=self.fused_upconv,
             lane_pad=self.lane_pad,
         )(feats, train, focal)
 
@@ -197,6 +207,7 @@ def create_model(cfg) -> BtsModel:
         dtype=dtype,
         use_pallas=cfg.use_pallas,
         remat=cfg.remat,
+        remat_policy=cfg.remat_policy,
     )
 
 

@@ -88,11 +88,16 @@ def freeze_prefixes(name: str, num_blocks: int) -> Tuple[str, ...]:
     return tuple(names)
 
 
-def build_encoder(name: str, dtype=jnp.float32, remat: bool = False):
+def build_encoder(name: str, dtype=jnp.float32, remat: bool = False, remat_policy: str = "layer"):
     if name not in ENCODERS:
         raise ValueError(f"unknown encoder {name!r}; choose from {sorted(ENCODERS)}")
     spec = ENCODERS[name]
-    return spec["cls"](dtype=dtype, remat=remat, **spec["kwargs"])
+    kwargs = dict(spec["kwargs"])
+    if spec["cls"] is DenseNet:
+        # remat granularity is a DenseNet knob (measured sweep,
+        # PERFORMANCE.md); other encoders checkpoint per stage block
+        kwargs["remat_policy"] = remat_policy
+    return spec["cls"](dtype=dtype, remat=remat, **kwargs)
 
 
 def encoder_channels(name: str) -> Tuple[int, ...]:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from bts_tpu.ops.resize import upsample_nearest_2x
@@ -64,14 +65,79 @@ class BatchNorm(nn.Module):
         return x.astype(orig_dtype)
 
 
-class UpConv(nn.Module):
-    """Nearest x2 upsample -> 3x3 SAME conv -> ELU (reference ``upconv``)."""
+class _DilatedUpConv(nn.Module):
+    """conv3x3(upsample_nearest_2x(x)) as ONE lhs-dilated conv.
+
+    Identity: nearest-2x upsample == zero-dilation (lhs_dilation=2)
+    convolved with ones(2,2), so by associativity
+
+        conv3x3_SAME(up2x(x), K) == conv(x, K (*) ones(2,2),
+                                         lhs_dilation=2, padding=(2,2))
+
+    with the 4x4 kernel K''[a,b] = sum_{u,v in {0,1}} K[a-u, b-v] (verified
+    exact in f64 over all paddings; only ((2,2),(2,2)) aligns).  The
+    full-resolution upsampled intermediate is never materialized — on TPU
+    the broadcast + conv-input relayout around it was the single hottest
+    item of the b1 headline profile (UpConv_4: 1.78 ms of 12.45,
+    PERFORMANCE.md round 3).  Param tree identical to the unfused path:
+    this module is named ``Conv_0`` with the same (3,3,cin,cout) kernel.
+    """
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kp = jnp.zeros((4, 4, cin, self.features), jnp.float32)
+        for u in (0, 1):
+            for v in (0, 1):
+                kp = kp.at[u : u + 3, v : v + 3].add(k)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kp.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(self.dtype)
+
+
+class _FusedUpBlock(nn.Module):
+    """ConvBlock-shaped wrapper for the fused upsample-conv (named so the
+    param path stays ``UpConv_i/ConvBlock_0/Conv_0/{kernel,bias}``)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = _DilatedUpConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        return nn.elu(y)
+
+
+class UpConv(nn.Module):
+    """Nearest x2 upsample -> 3x3 SAME conv -> ELU (reference ``upconv``).
+
+    ``fused=True`` (default) computes the mathematically-identical
+    lhs-dilated conv without materializing the upsampled tensor (see
+    _DilatedUpConv); ``fused=False`` keeps the literal two-op form (used by
+    the equivalence test and as an escape hatch).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.fused:
+            return _FusedUpBlock(self.features, dtype=self.dtype, name="ConvBlock_0")(x)
         x = upsample_nearest_2x(x)
         return ConvBlock(self.features, dtype=self.dtype)(x)
 

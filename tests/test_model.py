@@ -67,3 +67,28 @@ def test_bf16_compute_dtype_runs():
     *_, final = model.apply(variables, x, False)
     assert final.dtype == jnp.float32  # final head forced back to f32
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_fused_upconv_matches_literal():
+    """UpConv(fused=True) — ONE lhs-dilated conv with the K (*) ones(2,2)
+    kernel — must match the literal upsample->conv->ELU form with the SAME
+    param tree (paths, shapes, AND init values), so checkpoints/converters
+    are unaffected (PERFORMANCE.md round 3)."""
+    import numpy as np
+
+    from bts_tpu.models.layers import UpConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 6)).astype(np.float32))
+    fused = UpConv(8, fused=True)
+    plain = UpConv(8, fused=False)
+    vf = fused.init(jax.random.PRNGKey(1), x)
+    vp = plain.init(jax.random.PRNGKey(1), x)
+    pf = jax.tree_util.tree_flatten_with_path(vf)[0]
+    pp = jax.tree_util.tree_flatten_with_path(vp)[0]
+    assert [p for p, _ in pf] == [p for p, _ in pp]
+    assert all(np.array_equal(a, b) for (_, a), (_, b) in zip(pf, pp))
+    # cross-apply: fused path consumes the literal path's params verbatim
+    of = np.asarray(fused.apply(vp, x))
+    op = np.asarray(plain.apply(vp, x))
+    np.testing.assert_allclose(of, op, rtol=2e-5, atol=2e-6)
