@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from bts_tpu.models.encoders import build_encoder, encoder_channels
 from bts_tpu.models.layers import AtrousConv, BatchNorm, ConvBlock, Reduction1x1, UpConv
-from bts_tpu.ops.lpg import local_planar_guidance, lpg_strided, plane_from_spherical
+from bts_tpu.ops.lpg import lpg_scaled_from_raw, lpg_strided, plane_from_spherical
 
 KITTI_FOCAL = 715.0873
 
@@ -103,11 +103,13 @@ class BtsDecoder(nn.Module):
         )
         daspp_feat = ConvBlock(nf // 4, dtype=dt)(concat4_daspp)
 
-        # LPG head at 1/8
+        # LPG head at 1/8: the fused Pallas head consumes the RAW 3-channel
+        # reduction output (spherical transform + /max_depth inside the
+        # kernel); plane8 is still formed in XLA for the tiny strided
+        # guidance map below (it fuses into the producing 1x1 conv)
         reduc8 = Reduction1x1(nf // 4, dtype=dt)(daspp_feat)
         plane8 = plane_from_spherical(reduc8, self.max_depth)
-        depth_8x8 = local_planar_guidance(plane8, 8, self.use_pallas)  # (B, H, W)
-        depth_8x8_scaled = (depth_8x8 / self.max_depth)[..., None]
+        depth_8x8_scaled = lpg_scaled_from_raw(reduc8, 8, self.max_depth, self.use_pallas)[..., None]
         # 1/4-res guidance map: evaluate the plane eq at strided pixels
         # directly (== downsample_nearest(depth_8x8_scaled, 4), without the
         # full-res gather/relayout; see ops.lpg.lpg_strided)
@@ -121,8 +123,7 @@ class BtsDecoder(nn.Module):
         # LPG head at 1/4
         reduc4 = Reduction1x1(nf // 8, dtype=dt)(iconv3)
         plane4 = plane_from_spherical(reduc4, self.max_depth)
-        depth_4x4 = local_planar_guidance(plane4, 4, self.use_pallas)
-        depth_4x4_scaled = (depth_4x4 / self.max_depth)[..., None]
+        depth_4x4_scaled = lpg_scaled_from_raw(reduc4, 4, self.max_depth, self.use_pallas)[..., None]
         depth_4x4_ds = (lpg_strided(plane4, 4, 2) / self.max_depth)[..., None].astype(dt)
 
         upconv2 = up(nf // 8)(iconv3)  # H/2
@@ -130,11 +131,10 @@ class BtsDecoder(nn.Module):
         concat2 = jnp.concatenate([upconv2, skip2, padmap(depth_4x4_ds)], axis=-1)
         iconv2 = ConvBlock(nf // 8, dtype=dt)(concat2)
 
-        # LPG head at 1/2
+        # LPG head at 1/2 (plane2 has no strided consumer; XLA drops it on
+        # the fused path)
         reduc2 = Reduction1x1(nf // 16, dtype=dt)(iconv2)
-        plane2 = plane_from_spherical(reduc2, self.max_depth)
-        depth_2x2 = local_planar_guidance(plane2, 2, self.use_pallas)
-        depth_2x2_scaled = (depth_2x2 / self.max_depth)[..., None]
+        depth_2x2_scaled = lpg_scaled_from_raw(reduc2, 2, self.max_depth, self.use_pallas)[..., None]
 
         upconv1 = up(nf // 16)(iconv2)  # H
         depth_1x1 = Reduction1x1(nf // 32, is_final=True, dtype=dt)(upconv1)

@@ -65,8 +65,19 @@ class BatchNorm(nn.Module):
         return x.astype(orig_dtype)
 
 
-class _DilatedUpConv(nn.Module):
-    """conv3x3(upsample_nearest_2x(x)) as ONE lhs-dilated conv.
+def _up2x_conv_literal(x, k):
+    """The literal composition: nearest-2x upsample then SAME 3x3 conv.
+    ``k`` is the f32 master kernel; compute runs in x's dtype (the same
+    cast placement as nn.Conv with dtype=compute, param_dtype=f32)."""
+    up = upsample_nearest_2x(x)
+    return jax.lax.conv_general_dilated(
+        up, k.astype(x.dtype), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@jax.custom_vjp
+def _up2x_conv(x, k):
+    """conv3x3_SAME(up2x(x), K) as ONE lhs-dilated conv (forward).
 
     Identity: nearest-2x upsample == zero-dilation (lhs_dilation=2)
     convolved with ones(2,2), so by associativity
@@ -75,12 +86,51 @@ class _DilatedUpConv(nn.Module):
                                          lhs_dilation=2, padding=(2,2))
 
     with the 4x4 kernel K''[a,b] = sum_{u,v in {0,1}} K[a-u, b-v] (verified
-    exact in f64 over all paddings; only ((2,2),(2,2)) aligns).  The
-    full-resolution upsampled intermediate is never materialized — on TPU
-    the broadcast + conv-input relayout around it was the single hottest
-    item of the b1 headline profile (UpConv_4: 1.78 ms of 12.45,
-    PERFORMANCE.md round 3).  Param tree identical to the unfused path:
-    this module is named ``Conv_0`` with the same (3,3,cin,cout) kernel.
+    exact in f64 over all paddings; only ((2,2),(2,2)) aligns).
+
+    custom_vjp because GSPMD mis-partitions the BACKWARD of an lhs-dilated
+    conv under spatial (H) sharding: measured on the 8-device CPU mesh,
+    forward exact but encoder gradients off by O(1) relative while the
+    literal two-op composition stays at 4e-6.  The backward here therefore
+    differentiates the literal composition — mathematically the same
+    function, so the same gradient — whose partitioning is proven by
+    tests/test_spatial_sharding.py.
+    """
+    kp = jnp.zeros((4, 4) + k.shape[2:], jnp.float32)
+    for u in (0, 1):
+        for v in (0, 1):
+            kp = kp.at[u : u + 3, v : v + 3].add(k.astype(jnp.float32))
+    return jax.lax.conv_general_dilated(
+        x,
+        kp.astype(x.dtype),  # tap sums in f32, compute in x's dtype
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _up2x_conv_fwd(x, k):
+    return _up2x_conv(x, k), (x, k)
+
+
+def _up2x_conv_bwd(res, g):
+    x, k = res
+    _, vjp = jax.vjp(_up2x_conv_literal, x, k)
+    return vjp(g)
+
+
+_up2x_conv.defvjp(_up2x_conv_fwd, _up2x_conv_bwd)
+
+
+class _DilatedUpConv(nn.Module):
+    """Fused upsample-conv (see _up2x_conv).  The full-resolution upsampled
+    intermediate is never materialized in the forward — on TPU the
+    broadcast + conv-input relayout around it was the single hottest item
+    of the b1 headline profile (UpConv_4: 1.78 ms of 12.45; fusing it took
+    the b1 forward 12.71 -> 10.82 ms, PERFORMANCE.md round 3).  Param tree
+    identical to the unfused path: this module is named ``Conv_0`` with the
+    same (3,3,cin,cout) kernel and init.
     """
 
     features: int
@@ -93,18 +143,7 @@ class _DilatedUpConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        kp = jnp.zeros((4, 4, cin, self.features), jnp.float32)
-        for u in (0, 1):
-            for v in (0, 1):
-                kp = kp.at[u : u + 3, v : v + 3].add(k)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kp.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((2, 2), (2, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = _up2x_conv(x.astype(self.dtype), k)
         return y + b.astype(self.dtype)
 
 

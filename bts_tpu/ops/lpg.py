@@ -125,3 +125,27 @@ def local_planar_guidance(plane_eq: jnp.ndarray, k: int, use_pallas: str = "auto
         if use_pallas == "always":
             raise
     return lpg_reference(plane_eq, k)
+
+
+def lpg_scaled_from_raw(
+    raw3: jnp.ndarray, k: int, max_depth: float, use_pallas: str = "auto"
+) -> jnp.ndarray:
+    """Fused head: raw reduction_1x1 output -> depth/max_depth at full res.
+
+    Pallas path (:func:`bts_tpu.ops.lpg_pallas.lpg_fused`) folds the
+    spherical transform AND the /max_depth scaling into the kernel (n4 =
+    sigmoid*max_depth and the division cancel exactly — one fewer
+    full-resolution elementwise pass).  Fallback composes the public
+    pieces; both paths return the SAME function of raw3.
+    """
+    if use_pallas != "never":
+        try:
+            from bts_tpu.ops import lpg_pallas
+
+            if use_pallas == "always" or lpg_pallas.pallas_available():
+                return lpg_pallas.lpg_fused(raw3, k)
+        except Exception:
+            if use_pallas == "always":
+                raise
+    plane = plane_from_spherical(raw3, max_depth)
+    return lpg_reference(plane, k) / max_depth

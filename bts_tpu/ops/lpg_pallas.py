@@ -159,20 +159,44 @@ def _plane_components(plane_eq):
     return pe[..., 0], pe[..., 1], pe[..., 2], pe[..., 3]
 
 
+# VMEM row-tiling: the kernels hold ~8 (fwd) / ~12 (bwd) live full-res f32
+# tiles; one (h*k, w*k) block per program overflows the 16 MiB scoped VMEM
+# at full KITTI resolution for the backward (measured: 17.13M at k=4,
+# 352x1216).  The element-repeat expansion is block-diagonal in rows, so the
+# grid tiles h into row chunks — each program expands its own cell rows
+# independently (patch sums in the backward stay tile-local for the same
+# reason).  ~200k floats per full-res tile keeps the worst kernel under
+# ~10 MiB with headroom for spills.
+_TILE_BUDGET_FLOATS = 200_000
+
+
+def _h_tile(h: int, w: int, k: int) -> int:
+    """Largest usable row-tile hb: divides h, fits the budget, and satisfies
+    the Mosaic block constraint (second-to-last block dim divisible by 8,
+    or equal to the full dim).  Falls back to the full h (one block) when no
+    multiple-of-8 divisor fits — matching the pre-tiling behavior."""
+    limit = max(1, _TILE_BUDGET_FLOATS // (w * k * k))
+    for hb in range(min(h - 1, limit), 0, -1):
+        if h % hb == 0 and hb % 8 == 0:
+            return hb
+    return h
+
+
 def _fwd_call(n1, n2, n3, n4, *, k: int):
     """The raw forward pallas_call on (local) (b, h, w) components."""
     b, h, w = n1.shape
-    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
-    out_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
+    hb = _h_tile(h, w, k)
+    in_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
+    out_spec = pl.BlockSpec((1, hb * k, w * k), lambda i, j: (i, j, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, k=k),
-        grid=(b,),
+        grid=(b, h // hb),
         in_specs=[in_spec] * 4,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h * k, w * k), jnp.float32),
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * 4 * (h * k * h * w + h * k * w * w * k) + 7 * b * h * w * k * k,
+            flops=2 * b * 4 * (h * k * hb * w + h * k * w * w * k) + 7 * b * h * w * k * k,
             bytes_accessed=4 * (4 * b * h * w + b * h * w * k * k),
             transcendentals=0,
         ),
@@ -182,18 +206,19 @@ def _fwd_call(n1, n2, n3, n4, *, k: int):
 def _bwd_call(n1, n2, n3, n4, g, *, k: int):
     """The raw backward pallas_call on (local) shards; returns d(n1..n4)."""
     b, h, w = n1.shape
-    in_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
-    g_spec = pl.BlockSpec((1, h * k, w * k), lambda i: (i, 0, 0))
+    hb = _h_tile(h, w, k)
+    in_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
+    g_spec = pl.BlockSpec((1, hb * k, w * k), lambda i, j: (i, j, 0))
     out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.float32)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, k=k),
-        grid=(b,),
+        grid=(b, h // hb),
         in_specs=[in_spec] * 4 + [g_spec],
         out_specs=[in_spec] * 4,
         out_shape=[out_shape] * 4,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * 8 * (h * k * h * w + h * k * w * w * k) + 10 * b * h * w * k * k,
+            flops=2 * b * 8 * (h * k * hb * w + h * k * w * w * k) + 10 * b * h * w * k * k,
             bytes_accessed=4 * b * h * w * (k * k + 8),
             transcendentals=0,
         ),
@@ -321,3 +346,201 @@ def _lpg_bwd(k, plane_eq, g):
 
 
 lpg.defvjp(_lpg_fwd, _lpg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused reduction_1x1 -> LPG head (BASELINE.json north-star names both the
+# plane-coefficient head and the LPG as Pallas targets).  Consumes the RAW
+# 3-channel reduction_1x1 output and applies the spherical transform
+# (SURVEY.md §2.7: theta = sig*pi/3, phi = sig*2pi, dist = sig*max_depth)
+# INSIDE the kernel, emitting depth/max_depth directly:
+#
+#     depth/max_depth = sigmoid(x2) / (n1*u + n2*v + n3)
+#
+# (the n4 = dist*max_depth and the later /max_depth cancel exactly, so the
+# fused head also skips one full-resolution division pass).  Backward chains
+# the existing patch-sum cotangents through the transform at LOW resolution.
+# ---------------------------------------------------------------------------
+
+
+def _spherical(x0, x1, x2):
+    """Low-res spherical transform; returns (n1, n2, n3, n4_scaled)."""
+    t = jax.nn.sigmoid(x0) * (jnp.pi / 3)
+    p = jax.nn.sigmoid(x1) * (2 * jnp.pi)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    return st * cp, st * sp, ct, jax.nn.sigmoid(x2)
+
+
+def _fused_fwd_kernel(x0_ref, x1_ref, x2_ref, out_ref, *, k: int):
+    h, w = x0_ref.shape[1], x0_ref.shape[2]
+    n1, n2, n3, n4s = _spherical(
+        x0_ref[0].astype(jnp.float32),
+        x1_ref[0].astype(jnp.float32),
+        x2_ref[0].astype(jnp.float32),
+    )
+    r_mat = _row_expander(h, k)
+    c_mat = _col_expander(w, k)
+    n1e = _expand(n1, r_mat, c_mat)
+    n2e = _expand(n2, r_mat, c_mat)
+    n3e = _expand(n3, r_mat, c_mat)
+    n4e = _expand(n4s, r_mat, c_mat)
+    v, u = _patch_offsets(k, h * k, w * k)
+    out_ref[0] = n4e / (n1e * u + n2e * v + n3e)
+
+
+def _fused_bwd_kernel(x0_ref, x1_ref, x2_ref, g_ref, d0_ref, d1_ref, d2_ref, *, k: int):
+    h, w = x0_ref.shape[1], x0_ref.shape[2]
+    x0 = x0_ref[0].astype(jnp.float32)
+    x1 = x1_ref[0].astype(jnp.float32)
+    x2 = x2_ref[0].astype(jnp.float32)
+    s0 = jax.nn.sigmoid(x0)
+    s1 = jax.nn.sigmoid(x1)
+    s2 = jax.nn.sigmoid(x2)
+    t = s0 * (jnp.pi / 3)
+    p = s1 * (2 * jnp.pi)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    n1, n2, n3, n4s = st * cp, st * sp, ct, s2
+
+    r_mat = _row_expander(h, k)
+    c_mat = _col_expander(w, k)
+    n1e = _expand(n1, r_mat, c_mat)
+    n2e = _expand(n2, r_mat, c_mat)
+    n3e = _expand(n3, r_mat, c_mat)
+    n4e = _expand(n4s, r_mat, c_mat)
+    g = g_ref[0].astype(jnp.float32)
+    v, u = _patch_offsets(k, h * k, w * k)
+    inv = 1.0 / (n1e * u + n2e * v + n3e)
+    ginv = g * inv
+    common = -ginv * n4e * inv
+
+    def patch_sum(x):
+        t_ = jax.lax.dot_general(
+            r_mat, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.dot_general(
+            t_, c_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    dn1 = patch_sum(common * u)  # (h, w) cotangents wrt n1..n4s
+    dn2 = patch_sum(common * v)
+    dn3 = patch_sum(common)
+    dn4 = patch_sum(ginv)
+    # chain through the spherical transform at LOW resolution
+    dt = dn1 * (ct * cp) + dn2 * (ct * sp) - dn3 * st
+    dp = dn1 * (-st * sp) + dn2 * (st * cp)
+    d0_ref[0] = dt * (s0 * (1.0 - s0)) * (jnp.pi / 3)
+    d1_ref[0] = dp * (s1 * (1.0 - s1)) * (2 * jnp.pi)
+    d2_ref[0] = dn4 * (s2 * (1.0 - s2))
+
+
+def _fused_fwd_call(x0, x1, x2, *, k: int):
+    b, h, w = x0.shape
+    hb = _h_tile(h, w, k)
+    in_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
+    out_spec = pl.BlockSpec((1, hb * k, w * k), lambda i, j: (i, j, 0))
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, k=k),
+        grid=(b, h // hb),
+        in_specs=[in_spec] * 3,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h * k, w * k), jnp.float32),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 4 * (h * k * hb * w + h * k * w * w * k) + 8 * b * h * w * k * k,
+            bytes_accessed=4 * (3 * b * h * w + b * h * w * k * k),
+            transcendentals=7 * b * h * w,
+        ),
+    )(x0, x1, x2)
+
+
+def _fused_bwd_call(x0, x1, x2, g, *, k: int):
+    b, h, w = x0.shape
+    hb = _h_tile(h, w, k)
+    in_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
+    g_spec = pl.BlockSpec((1, hb * k, w * k), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, k=k),
+        grid=(b, h // hb),
+        in_specs=[in_spec] * 3 + [g_spec],
+        out_specs=[in_spec] * 3,
+        out_shape=[out_shape] * 3,
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 8 * (h * k * hb * w + h * k * w * w * k) + 12 * b * h * w * k * k,
+            bytes_accessed=4 * b * h * w * (k * k + 7),
+            transcendentals=7 * b * h * w,
+        ),
+    )(x0, x1, x2, g.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fwd_partitioned(k: int):
+    def fwd(x0, x1, x2):
+        return _fused_fwd_call(x0, x1, x2, k=k)
+
+    fn = custom_partitioning(fwd)
+    fn.def_partition(
+        partition=_make_partition(_fused_fwd_call, k),
+        infer_sharding_from_operands=_infer_fwd(k),
+        sharding_rule="b h w, b h w, b h w -> b (h ek) (w ew)",
+        ek=k,
+        ew=k,
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bwd_partitioned(k: int):
+    def bwd(x0, x1, x2, g):
+        return _fused_bwd_call(x0, x1, x2, g, k=k)
+
+    fn = custom_partitioning(bwd)
+    fn.def_partition(
+        partition=_make_partition(_fused_bwd_call, k),
+        infer_sharding_from_operands=_infer_fwd(k),
+        sharding_rule=(
+            "b h w, b h w, b h w, b (h ek) (w ew) -> b h w, b h w, b h w"
+        ),
+        ek=k,
+        ew=k,
+    )
+    return fn
+
+
+def _raw_components(raw3):
+    r = raw3.astype(jnp.float32)
+    return r[..., 0], r[..., 1], r[..., 2]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def lpg_fused(raw3: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Fused head: raw reduction_1x1 output (B, h, w, 3) -> depth/max_depth
+    (B, h*k, w*k) f32.  The spherical transform runs inside the kernel; the
+    output is PRE-scaled (n4 = sig * max_depth and /max_depth cancel)."""
+    return _lpg_fused_fwd_impl(raw3, k)
+
+
+def _lpg_fused_fwd_impl(raw3, k):
+    x0, x1, x2 = _raw_components(raw3)
+    return _fused_fwd_partitioned(k)(x0, x1, x2)
+
+
+def _lpg_fused_fwd(raw3, k):
+    return _lpg_fused_fwd_impl(raw3, k), raw3
+
+
+def _lpg_fused_bwd(k, raw3, g):
+    x0, x1, x2 = _raw_components(raw3)
+    d0, d1, d2 = _fused_bwd_partitioned(k)(x0, x1, x2, g.astype(jnp.float32))
+    draw = jnp.stack([d0, d1, d2], axis=-1).astype(raw3.dtype)
+    return (draw,)
+
+
+lpg_fused.defvjp(_lpg_fused_fwd, _lpg_fused_bwd)

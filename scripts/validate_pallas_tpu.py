@@ -34,6 +34,21 @@ def main():
         berr = float(jnp.abs(gp - gr).max() / (jnp.abs(gr).max() + 1e-9))
         print(f"k={k}: fwd rel {ferr:.2e}  bwd rel {berr:.2e}")
         ok &= ferr < 1e-5 and berr < 1e-4
+
+        # fused head (raw3 -> depth/max_depth, transform inside the kernel)
+        r3 = jnp.asarray(raw)
+        out_f = jax.jit(lambda r: lpg_pallas.lpg_fused(r, k))(r3)
+        ref_f = out_r / 80.0
+        fferr = float(jnp.abs(out_f - ref_f).max() / jnp.abs(ref_f).max())
+        gf = jax.jit(jax.grad(lambda r: (lpg_pallas.lpg_fused(r, k) * g).sum()))(r3)
+        gc = jax.jit(
+            jax.grad(
+                lambda r: ((lpg_reference(plane_from_spherical(r, 80.0), k) / 80.0) * g).sum()
+            )
+        )(r3)
+        fberr = float(jnp.abs(gf - gc).max() / (jnp.abs(gc).max() + 1e-9))
+        print(f"k={k} fused: fwd rel {fferr:.2e}  bwd rel {fberr:.2e}")
+        ok &= fferr < 1e-5 and fberr < 1e-4
     print("PALLAS-OK" if ok else "PALLAS-MISMATCH")
     return 0 if ok else 1
 

@@ -153,3 +153,42 @@ def test_lpg_strided_matches_downsampled_reference():
         expect = downsample_nearest(full[..., None], s)[..., 0]
         got = lpg_strided(jnp.asarray(plane), k, s)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_fused_head_matches_composed(monkeypatch):
+    """lpg_fused (raw3 -> depth/max_depth, spherical transform inside the
+    kernel) must match plane_from_spherical + lpg_reference + /max_depth,
+    forward AND gradient (interpret mode)."""
+    from bts_tpu.ops import lpg_pallas
+    from bts_tpu.ops.lpg import lpg_reference, plane_from_spherical
+
+    monkeypatch.setattr(lpg_pallas, "_INTERPRET", True)
+    rng = np.random.default_rng(3)
+    max_depth = 80.0
+    raw = jnp.asarray(rng.normal(size=(2, 6, 10, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 24, 40)).astype(np.float32))
+
+    def composed(r):
+        return lpg_reference(plane_from_spherical(r, max_depth), 4) / max_depth
+
+    ref = composed(raw)
+    ref_grad = jax.grad(lambda r: (composed(r) * g).sum())(raw)
+
+    out = lpg_pallas.lpg_fused(raw, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    grad = jax.grad(lambda r: (lpg_pallas.lpg_fused(r, 4) * g).sum())(raw)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad), rtol=2e-4, atol=2e-5)
+
+
+def test_lpg_scaled_from_raw_fallback_matches_pallas(monkeypatch):
+    """The dispatcher's jnp fallback and the pallas path compute the same
+    function of raw3 (model numerics must not depend on the backend)."""
+    from bts_tpu.ops import lpg_pallas
+    from bts_tpu.ops.lpg import lpg_scaled_from_raw
+
+    monkeypatch.setattr(lpg_pallas, "_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    raw = jnp.asarray(rng.normal(size=(1, 8, 6, 3)).astype(np.float32))
+    a = lpg_scaled_from_raw(raw, 8, 10.0, use_pallas="never")
+    b = lpg_scaled_from_raw(raw, 8, 10.0, use_pallas="always")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

@@ -229,3 +229,40 @@ def test_spatial_eval_with_pallas_interpret():
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
     finally:
         lpg_pallas._INTERPRET = old
+
+
+def test_fused_upconv_spatial_gradients():
+    """Regression: GSPMD mis-partitions the backward of an lhs-dilated conv
+    under H-sharding (encoder grads were off by O(1) relative).  The fused
+    UpConv's custom_vjp differentiates the literal composition instead;
+    frozen-BN grads sharded-vs-single must stay tight with fused=True."""
+    from bts_tpu.ops.silog import default_mask, silog_loss
+
+    cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                 bts_size=64, compute_dtype="float32")
+    model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                     num_features=cfg.bts_size, fused_upconv=True)
+    h, w = 64, 96
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 9.5, (2, h, w)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(p, imgs, dps):
+        *_, final = model.apply({"params": p, "batch_stats": stats}, imgs, False)
+        return silog_loss(final[..., 0], dps, default_mask(dps, cfg.dataset),
+                          cfg.variance_focus)
+
+    gfn = jax.value_and_grad(loss_fn)
+    l_ref, g_ref = jax.jit(gfn)(params, images, depths)
+    mesh = create_mesh(model_axis=4)
+    repl, sp = replicated_sharding(mesh), spatial_sharding(mesh)
+    g_sp_fn = jax.jit(gfn, in_shardings=(repl, sp, sp), out_shardings=(repl, repl))
+    l_sp, g_sp = g_sp_fn(jax.device_put(params, repl),
+                         jax.device_put(images, sp), jax.device_put(depths, sp))
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale)
