@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch_size: int = 1, height: int = 352, width: int = 1216, iters: int = 20):
+def measure(batch_size: int = 1, height: int = 352, width: int = 1216, iters: int = 100):
+    # 100 iters: the tunnel's per-dispatch overhead amortizes slowly
+    # (measured 82.3 img/s @ 20 iters, 88.8 @ 50, 91.1 @ 100 for the same
+    # 10.6 ms device-span program); more iters converge walltime toward the
+    # device rate without changing what is measured
     from bts_tpu.data.augment import eval_preprocess
     from bts_tpu.models import BtsModel
 
