@@ -49,6 +49,27 @@ from bts_tpu.ops.lpg import lpg_scaled_from_raw, lpg_strided, plane_from_spheric
 KITTI_FOCAL = 715.0873
 
 
+def _tail_ok(fused_tail: str, train: bool, shape) -> bool:
+    """Static dispatch for the fused Pallas decoder tail (ops.tail_pallas).
+
+    Inference-only (the kernel has no VJP) and never inside a spatially
+    sharded program (its row halos would cross shard boundaries —
+    create_model forces 'never' when --spatial_shards > 1)."""
+    if fused_tail == "never" or train:
+        return False
+    try:
+        from bts_tpu.ops.lpg_pallas import pallas_available
+        from bts_tpu.ops.tail_pallas import tail_supported
+
+        if not tail_supported(shape):
+            return False
+        return fused_tail == "always" or pallas_available()
+    except Exception:
+        if fused_tail == "always":
+            raise
+        return False
+
+
 class BtsDecoder(nn.Module):
     max_depth: float = 80.0
     num_features: int = 512
@@ -62,12 +83,27 @@ class BtsDecoder(nn.Module):
     # concat (targets the measured ~21% relayout-copy tax of the b1 forward).
     # CHANGES THE PARAM TREE (conv cin grows) — never enable on checkpoints.
     lane_pad: int = 0
+    # Fused Pallas decoder tail (ops.tail_pallas): one kernel for
+    # upconv1 + reduction_1x1 head + concat1 + iconv1 + final conv, phase-
+    # separated, no full-res HBM intermediates.  auto | always | never.
+    # Inference-only; the param tree is identical (the literal modules own
+    # the weights; the kernel reads them), so checkpoints are unaffected.
+    fused_tail: str = "auto"
 
     @nn.compact
     def __call__(self, feats, train: bool = False, focal: Optional[jnp.ndarray] = None):
         skip2, skip4, skip8, skip16, bottleneck = feats
         nf = self.num_features
         dt = self.dtype
+        use_tail = (
+            not self.is_initializing()
+            and self.lane_pad <= 1
+            and _tail_ok(
+                self.fused_tail,
+                train,
+                (skip2.shape[0], skip2.shape[1], skip2.shape[2], nf // 8),
+            )
+        )
 
         def padmap(m):
             if self.lane_pad <= 1:
@@ -109,7 +145,8 @@ class BtsDecoder(nn.Module):
         # guidance map below (it fuses into the producing 1x1 conv)
         reduc8 = Reduction1x1(nf // 4, dtype=dt)(daspp_feat)
         plane8 = plane_from_spherical(reduc8, self.max_depth)
-        depth_8x8_scaled = lpg_scaled_from_raw(reduc8, 8, self.max_depth, self.use_pallas)[..., None]
+        if not use_tail:
+            depth_8x8_scaled = lpg_scaled_from_raw(reduc8, 8, self.max_depth, self.use_pallas)[..., None]
         # 1/4-res guidance map: evaluate the plane eq at strided pixels
         # directly (== downsample_nearest(depth_8x8_scaled, 4), without the
         # full-res gather/relayout; see ops.lpg.lpg_strided)
@@ -123,7 +160,8 @@ class BtsDecoder(nn.Module):
         # LPG head at 1/4
         reduc4 = Reduction1x1(nf // 8, dtype=dt)(iconv3)
         plane4 = plane_from_spherical(reduc4, self.max_depth)
-        depth_4x4_scaled = lpg_scaled_from_raw(reduc4, 4, self.max_depth, self.use_pallas)[..., None]
+        if not use_tail:
+            depth_4x4_scaled = lpg_scaled_from_raw(reduc4, 4, self.max_depth, self.use_pallas)[..., None]
         depth_4x4_ds = (lpg_strided(plane4, 4, 2) / self.max_depth)[..., None].astype(dt)
 
         upconv2 = up(nf // 8)(iconv3)  # H/2
@@ -134,24 +172,64 @@ class BtsDecoder(nn.Module):
         # LPG head at 1/2 (plane2 has no strided consumer; XLA drops it on
         # the fused path)
         reduc2 = Reduction1x1(nf // 16, dtype=dt)(iconv2)
-        depth_2x2_scaled = lpg_scaled_from_raw(reduc2, 2, self.max_depth, self.use_pallas)[..., None]
 
-        upconv1 = up(nf // 16)(iconv2)  # H
-        depth_1x1 = Reduction1x1(nf // 32, is_final=True, dtype=dt)(upconv1)
-        depth_1x1 = nn.sigmoid(depth_1x1.astype(jnp.float32))
-        concat1 = jnp.concatenate(
-            [
-                upconv1,
-                padmap(depth_1x1.astype(dt)),
-                padmap(depth_2x2_scaled.astype(dt)),
-                padmap(depth_4x4_scaled.astype(dt)),
-                padmap(depth_8x8_scaled.astype(dt)),
-            ],
-            axis=-1,
-        )
-        iconv1 = ConvBlock(nf // 16, dtype=dt)(concat1)
-        logits = ConvBlock(1, act=None, dtype=dt)(iconv1)
-        final_depth = self.max_depth * nn.sigmoid(logits.astype(jnp.float32))
+        if use_tail:
+            # Fused Pallas tail (ops.tail_pallas): the three guidance maps
+            # are produced PHASE-SPLIT straight from the raw reduction
+            # outputs (identical f32 math to lpg_fused), the whole
+            # upconv1 -> d1x1 -> concat1 -> iconv1 -> final chain runs in
+            # one kernel, and the full-res maps below are re-interleaved
+            # from the phases — XLA dead-code-eliminates any the caller
+            # ignores.  The literal tail modules are not constructed on
+            # this path; their params (created by the init/train path) are
+            # read directly, so the parameter tree is identical either way.
+            from bts_tpu.ops.tail_pallas import (
+                fused_tail as _run_tail,
+                interleave2x2,
+                lpg_phase_planes,
+            )
+
+            d8ph = lpg_phase_planes(reduc8, 8)
+            d4ph = lpg_phase_planes(reduc4, 4)
+            d2ph = lpg_phase_planes(reduc2, 2)
+            p = self.variables["params"]
+            fin_ph, d1ph = _run_tail(
+                iconv2.astype(jnp.bfloat16),
+                d2ph,
+                d4ph,
+                d8ph,
+                {
+                    "up": p["UpConv_4"]["ConvBlock_0"]["Conv_0"],
+                    "r1": p["Reduction1x1_3"]["Conv_0"],
+                    "r2": p["Reduction1x1_3"]["Conv_1"],
+                    "r3": p["Reduction1x1_3"]["Conv_2"],
+                    "i1": p["ConvBlock_5"]["Conv_0"],
+                    "f": p["ConvBlock_6"]["Conv_0"],
+                },
+            )
+            depth_8x8_scaled = interleave2x2(d8ph)[..., None]
+            depth_4x4_scaled = interleave2x2(d4ph)[..., None]
+            depth_2x2_scaled = interleave2x2(d2ph)[..., None]
+            depth_1x1 = interleave2x2(d1ph)[..., None]
+            final_depth = self.max_depth * interleave2x2(fin_ph)[..., None]
+        else:
+            depth_2x2_scaled = lpg_scaled_from_raw(reduc2, 2, self.max_depth, self.use_pallas)[..., None]
+            upconv1 = up(nf // 16)(iconv2)  # H
+            depth_1x1 = Reduction1x1(nf // 32, is_final=True, dtype=dt)(upconv1)
+            depth_1x1 = nn.sigmoid(depth_1x1.astype(jnp.float32))
+            concat1 = jnp.concatenate(
+                [
+                    upconv1,
+                    padmap(depth_1x1.astype(dt)),
+                    padmap(depth_2x2_scaled.astype(dt)),
+                    padmap(depth_4x4_scaled.astype(dt)),
+                    padmap(depth_8x8_scaled.astype(dt)),
+                ],
+                axis=-1,
+            )
+            iconv1 = ConvBlock(nf // 16, dtype=dt)(concat1)
+            logits = ConvBlock(1, act=None, dtype=dt)(iconv1)
+            final_depth = self.max_depth * nn.sigmoid(logits.astype(jnp.float32))
         if focal is not None:
             # scale by focal/715.0873 (KITTI focal normalization, reference
             # bts.py forward); samples with no focal recorded (0.0) pass through
@@ -178,6 +256,7 @@ class BtsModel(nn.Module):
     remat_policy: str = "layer"  # layer | block | convs (DenseNet granularity)
     fused_upconv: bool = True  # see BtsDecoder.fused_upconv
     lane_pad: int = 0  # EXPERIMENTAL — see BtsDecoder.lane_pad
+    fused_tail: str = "auto"  # see BtsDecoder.fused_tail
 
     @nn.compact
     def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
@@ -194,6 +273,7 @@ class BtsModel(nn.Module):
             use_pallas=self.use_pallas,
             fused_upconv=self.fused_upconv,
             lane_pad=self.lane_pad,
+            fused_tail=self.fused_tail,
         )(feats, train, focal)
 
 
@@ -208,6 +288,9 @@ def create_model(cfg) -> BtsModel:
         use_pallas=cfg.use_pallas,
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
+        # the fused tail's row halos cannot cross spatial-shard boundaries;
+        # force the literal (GSPMD-proven) path under --spatial_shards
+        fused_tail="never" if cfg.spatial_shards > 1 else cfg.fused_tail,
     )
 
 
