@@ -85,7 +85,7 @@ class Config:
     remat_policy: str = "layer"  # layer | block | convs (DenseNet remat granularity)
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
-    fused_tail: str = "auto"  # auto | always | never (fused Pallas decoder tail, inference)
+    fused_tail: str = "auto"  # auto | always | never; auto=OFF (kernel measured 4.3x slower than XLA tail, see PERFORMANCE.md); always = reproduction harness
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     dataloader_workers: int = 2

@@ -52,22 +52,24 @@ KITTI_FOCAL = 715.0873
 def _tail_ok(fused_tail: str, train: bool, shape) -> bool:
     """Static dispatch for the fused Pallas decoder tail (ops.tail_pallas).
 
-    Inference-only (the kernel has no VJP) and never inside a spatially
-    sharded program (its row halos would cross shard boundaries —
-    create_model forces 'never' when --spatial_shards > 1)."""
-    if fused_tail == "never" or train:
+    MEASURED AND REJECTED for production ("auto" resolves to the literal
+    path): on the v5e at the flagship 352x1216 shape the kernel runs
+    14.7 ms vs 3.4 ms for the literal XLA tail — the narrow column tiles
+    that bound Mosaic's compile time also starve the MXU (K=32/N=32 tap
+    matmuls), while XLA lowers the same convs as large implicit GEMMs.
+    See PERFORMANCE.md "Tried and rejected".  ``always`` keeps the kernel
+    reachable as the reproduction harness (inference-only — it has no VJP
+    — and never inside a spatially sharded program, where its row halos
+    would cross shard boundaries)."""
+    if fused_tail != "always" or train:
         return False
-    try:
-        from bts_tpu.ops.lpg_pallas import pallas_available
-        from bts_tpu.ops.tail_pallas import tail_supported
+    from bts_tpu.ops.tail_pallas import tail_supported
 
-        if not tail_supported(shape):
-            return False
-        return fused_tail == "always" or pallas_available()
-    except Exception:
-        if fused_tail == "always":
-            raise
-        return False
+    if not tail_supported(shape):
+        raise ValueError(
+            f"fused_tail='always' unsupported for decoder tail shape {shape}"
+        )
+    return True
 
 
 class BtsDecoder(nn.Module):
@@ -85,9 +87,12 @@ class BtsDecoder(nn.Module):
     lane_pad: int = 0
     # Fused Pallas decoder tail (ops.tail_pallas): one kernel for
     # upconv1 + reduction_1x1 head + concat1 + iconv1 + final conv, phase-
-    # separated, no full-res HBM intermediates.  auto | always | never.
-    # Inference-only; the param tree is identical (the literal modules own
-    # the weights; the kernel reads them), so checkpoints are unaffected.
+    # separated, no full-res HBM intermediates.  auto | always | never;
+    # "auto" resolves to the literal path — the kernel measured 4.3x
+    # SLOWER than the XLA tail on the v5e (see _tail_ok) — and "always"
+    # keeps it reachable as the reproduction harness.  The param tree is
+    # identical either way (the literal modules own the weights; the
+    # kernel reads them), so checkpoints are unaffected.
     fused_tail: str = "auto"
 
     @nn.compact

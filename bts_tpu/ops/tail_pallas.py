@@ -1,7 +1,21 @@
 """Fused full-resolution decoder tail: one Pallas kernel, phase-separated.
 
-Why: the round-3 profile of the b1 headline forward (PERFORMANCE.md "Where
-the time goes") shows ~2.9 ms of the 10.62 ms step in the full-res tail —
+STATUS — MEASURED AND REJECTED for production (kept as the reproduction
+harness behind ``fused_tail="always"``; PERFORMANCE.md "Tried and
+rejected").  On the v5e at the flagship shape the kernel runs 14.7 ms vs
+3.4 ms for the literal XLA tail it replaces: the fixed WB=128 column
+tiles that keep Mosaic's (superlinear-in-width) compile time bounded also
+pin every tap matmul at K<=32, N=32 — 1/16 of the MXU — while XLA lowers
+the same convs as large implicit GEMMs.  The original full-width form was
+worse still: its compile grew superlinearly until the compile helper was
+OOM-killed at w2=608.  The numerics are good (closer to the f32 truth
+than the literal bf16 path), so the kernel remains a correct, tested
+harness and a record of WHY hand-written conv chains lose to XLA-TPU on
+this architecture.
+
+Why it was built: the round-3 profile of the b1 headline forward
+(PERFORMANCE.md "Where the time goes") shows ~2.9 ms of the 10.62 ms
+step in the full-res tail —
 iconv1's conv fusion (0.49) + its concat-input relayout (0.39) + the final
 3x3 conv (0.41) + 1-channel output copies (0.55) + the UpConv_4 ELU select
 and relayout (0.47) + the Reduction1x1 chain fusions (~0.4) + the concat
@@ -40,14 +54,26 @@ interleaved planes are bit-identical to the full-res kernel output).
 
 Hardware constraints shaping the code (all verified on the v5e):
 - DMA slice shapes must align to the (sublane, lane) tiling: lane dims a
-  multiple of 128, sublane windows a multiple of 8 (f32; 16-row bf16
-  windows at 8-aligned offsets verified OK).  Inputs are therefore padded
-  in XLA: iconv2 channels 64->128, cols to `_XCOLS`, guidance planes'
-  cols to a 128 multiple.  These pads are cheap dense copies that replace
-  far more expensive relayouts.
+  multiple of 128 at 128-aligned offsets, sublane windows a multiple of 8
+  (f32; 16-row bf16 windows at 8-aligned offsets verified OK).  Inputs are
+  therefore padded in XLA: iconv2 channels 64->128 and cols by 16 left,
+  guidance planes' cols by 128 left (so every per-tile DMA offset is
+  aligned by construction).  These pads are cheap dense copies that
+  replace far more expensive relayouts.
 - In-VMEM static slices at unaligned sublane/lane offsets are supported
-  (halo taps slice at offsets 0..5).
-- Row tiles: MP=8 phase rows (16 full-res rows) per grid step.
+  (halo taps slice at offsets 0..5); slice LENGTHS need no alignment.
+- Grid tiles: MP=8 phase rows (16 full-res rows) x WB=128 phase cols per
+  program.  Column tiling is what makes the kernel COMPILABLE: Mosaic's
+  compile time for this unrolled body is superlinear in the vector width
+  (measured: 137 s at 104 lanes, >10 min at 232, compile-helper OOM-kill
+  at 616), so per-program widths must stay fixed as w2 grows.  Ragged
+  widths are zero-padded to a WB multiple in XLA and masked in-kernel
+  with absolute column positions; outputs are sliced back to w2.
+- The four 1-channel guidance maps (d1x1 + d2/d4/d8) are packed ONCE per
+  phase into an 8-lane scratch (offset-0 lane broadcasts x one-hot
+  constants); each iconv1 tap is then 2 MXU matmuls (32-ch main + 8-ch
+  maps) instead of 1 matmul + 4 scratch-realigned broadcasts — the
+  packing removes ~300 Mosaic ops/program from the original form.
 
 Inference only: training keeps the literal module path (this kernel has no
 VJP), as does any spatially-sharded program (the halo would cross shard
@@ -81,8 +107,11 @@ except Exception:  # pragma: no cover
 import bts_tpu.ops.lpg_pallas as _lpg_mod
 
 MP = 8          # phase rows (half-res) per grid step -> 16 full-res rows
+WB = 128        # phase cols per grid step (fixed vector width, see above)
 _XWIN = 16      # iconv2 DMA window rows (MP//2 + halo 3 top/5 bottom pad)
+_XCW = WB + 16  # iconv2 DMA window cols (WB + 8-col halo each side)
 _MWIN = 16      # guidance-plane DMA window rows (MP + halo 2 top/6 bottom)
+_MCW = WB + 256  # guidance-plane DMA window cols (128-aligned over-fetch)
 
 
 def _interpret():
@@ -179,47 +208,62 @@ def _elu(x):
 def _tail_kernel(
     x_hbm, d2_hbm, d4_hbm, d8_hbm,
     k4_ref, bup_ref, wr1_ref, br1_ref, wr2_ref, br2_ref, wr3_ref, br3_ref,
-    ki1_ref, bi1_ref, kf_ref, bff_ref,
+    ki1_ref, km_ref, bi1_ref, kf_ref, bff_ref,
     final_ref, d1x1_ref,
-    xs, m2s, m4s, m8s, mts, ups, d1s, i1s, accu, acci, sems,
+    xs, m2s, m4s, m8s, mts, ups, d1s, mp4, i1s, accu, acci, sems,
     *, w2: int, hh: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    c = pl.program_id(2)
+    c0 = c * WB  # absolute phase-col base of this tile
     # --- DMA input windows -------------------------------------------------
+    # x: padded cols = 16 left; window [c0+8, c0+8+_XCW) in padded space =
+    # real cols [c0-8, c0+WB+8) — offset 8-aligned, length a 16-multiple.
+    # maps: padded cols = 128 left; lane window [c0, c0+_MCW) = real cols
+    # [c0-128, c0+WB+128) — offset/length 128-aligned by construction.
     copies = [
-        pltpu.make_async_copy(x_hbm.at[b, pl.ds(t * MP, _XWIN)], xs, sems.at[0]),
-        pltpu.make_async_copy(d2_hbm.at[b, :, pl.ds(t * MP, _MWIN)], m2s, sems.at[1]),
-        pltpu.make_async_copy(d4_hbm.at[b, :, pl.ds(t * MP, _MWIN)], m4s, sems.at[2]),
-        pltpu.make_async_copy(d8_hbm.at[b, :, pl.ds(t * MP, _MWIN)], m8s, sems.at[3]),
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * MP, _XWIN), pl.ds(c0 + 8, _XCW)], xs, sems.at[0]
+        ),
+        pltpu.make_async_copy(
+            d2_hbm.at[b, :, pl.ds(t * MP, _MWIN), pl.ds(c0, _MCW)], m2s, sems.at[1]
+        ),
+        pltpu.make_async_copy(
+            d4_hbm.at[b, :, pl.ds(t * MP, _MWIN), pl.ds(c0, _MCW)], m4s, sems.at[2]
+        ),
+        pltpu.make_async_copy(
+            d8_hbm.at[b, :, pl.ds(t * MP, _MWIN), pl.ds(c0, _MCW)], m8s, sems.at[3]
+        ),
     ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
 
     # --- upconv1 phases + reduction head, phase-separated ------------------
-    # up grid: rows u in [t*MP-2, t*MP+10) (12), cols v in [-4, w2+4).
+    # up grid: rows u in [t*MP-2, t*MP+10) (12), cols v in [c0-4, c0+WB+4).
     # xs row for (u, py, dy) = u+py-1+dy - (t*MP-3) = i+py+dy  (offsets 0..2)
-    # xs col for (v, pz, dx) = 8+v+pz-1+dx          = j+3+pz+dx (offsets 3..5)
+    # xs col for (v, pz, dx) = v+pz-1+dx - (c0-8)   = j+3+pz+dx (offsets 3..5)
     #
     # The phase/tap loops are deliberately UNROLLED python loops: Mosaic
     # requires dynamic sublane offsets to be provably 8-aligned, and every
     # halo tap slices at odd offsets — a lax.fori_loop form fails to
     # compile ("cannot statically prove that index ... is a multiple of 8").
-    # The price is compile time (minutes at 608-wide tiles, amortized by
-    # the persistent compile cache); all accumulation goes through scratch
-    # REFS (accu/acci) because Mosaic stack-allocates value chains (the
+    # Compile time stays bounded because every op is <= WB+8 lanes wide
+    # regardless of w2; all accumulation goes through scratch REFS
+    # (accu/acci) because Mosaic stack-allocates value chains (the
     # pure-value form requested 71 MiB of scoped vmem).
-    wu = w2 + 8
+    wu = WB + 8
     # SAME-conv zero-padding semantics: positions outside the image must be
     # ZERO when consumed by the next conv's halo taps, but the phase grids
-    # extend 2 rows/4 cols beyond the image (and bias+ELU of a zero input is
-    # not zero) — mask them.  Rows depend on the tile index; cols are static.
+    # extend 2 rows / 4 cols beyond the tile (and bias+ELU of a zero input
+    # is not zero) — mask with ABSOLUTE row/col positions (c0-relative cols
+    # also mask the zero-padded ragged tail of the last column tile).
     up_row = jax.lax.broadcasted_iota(jnp.int32, (12, 1, 1), 0) + (t * MP - 2)
     up_rmask = (up_row >= 0) & (up_row < hh)
-    up_col = jax.lax.broadcasted_iota(jnp.int32, (1, wu, 1), 1)
-    up_cmask = (up_col >= 4) & (up_col < 4 + w2)
+    up_col = jax.lax.broadcasted_iota(jnp.int32, (1, wu, 1), 1) + (c0 - 4)
+    up_cmask = (up_col >= 0) & (up_col < w2)
     up_mask = up_rmask & up_cmask
     for py in (0, 1):
         for pz in (0, 1):
@@ -263,14 +307,37 @@ def _tail_kernel(
             ).sum(-1) + br3_ref[0]
             d1s[q] = jnp.where(up_mask[..., 0], jax.nn.sigmoid(logits), 0.0)
 
+    # --- pack the 4 guidance maps into 8 lanes, once per phase -------------
+    # mp4[p, i, j, m] = map_m at up-grid position (row i, col j); lanes
+    # 4..7 stay zero (matching km_ref's zero rows).  d1s reads at offset 0
+    # broadcast directly; the DMA'd planes land at local col 124 = (c0-4) -
+    # (c0-128), so they realign through the mts scratch first (Mosaic only
+    # lowers the trailing-lane broadcast for offset-0 operands).
+    def _onehot8(m):
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2) == m
+        ).astype(jnp.float32)
+
+    for p in (0, 1, 2, 3):
+        acc4 = jax.lax.broadcast_in_dim(
+            d1s[p].astype(jnp.float32), (12, wu, 8), (0, 1)
+        ) * _onehot8(0)
+        for mref, m in ((m2s, 1), (m4s, 2), (m8s, 3)):
+            mts[0:12, 0:wu] = mref[p, pl.ds(0, 12), pl.ds(124, wu)]
+            acc4 = acc4 + jax.lax.broadcast_in_dim(
+                mts[0:12, 0:wu], (12, wu, 8), (0, 1)
+            ) * _onehot8(m)
+        mp4[p] = acc4
+
     # --- iconv1 phases (3x3 on the full-res grid, 36 -> 32) ----------------
-    # grid: rows w in [t*MP-1, t*MP+9) (10), cols v in [-2, w2+2).
-    # up/d1 row = w+ro - (t*MP-2) = i+1+ro (0..2); col = v+co+4 = j+2+co (1..3)
-    # map  row = w+ro - (t*MP-2) = i+1+ro (0..2); col = 8+v+co = j+6+co (5..7)
-    wi = w2 + 4
+    # grid: rows w in [t*MP-1, t*MP+9) (10), cols v in [c0-2, c0+WB+2).
+    # up/d1/mp4 row = w+ro - (t*MP-2) = i+1+ro (0..2); col = v+co - (c0-4)
+    # = j+2+co (1..3).  Each tap: one 32-ch main matmul + one 8-ch packed
+    # guidance matmul (km_ref rows 0..3 = ki1 rows 32..35, rows 4..7 zero).
+    wi = WB + 4
     i1_row = jax.lax.broadcasted_iota(jnp.int32, (10, 1, 1), 0) + (t * MP - 1)
-    i1_col = jax.lax.broadcasted_iota(jnp.int32, (1, wi, 1), 1)
-    i1_mask = (i1_row >= 0) & (i1_row < hh) & (i1_col >= 2) & (i1_col < 2 + w2)
+    i1_col = jax.lax.broadcasted_iota(jnp.int32, (1, wi, 1), 1) + (c0 - 2)
+    i1_mask = (i1_row >= 0) & (i1_row < hh) & (i1_col >= 0) & (i1_col < w2)
     for qy in (0, 1):
         for qz in (0, 1):
             q = 2 * qy + qz
@@ -285,33 +352,19 @@ def _tail_kernel(
                     )
                     acci[...] = acci[...] + jax.lax.dot_general(
                         sl,
-                        ki1_ref[dy + 1, dx + 1, :32, :],
+                        ki1_ref[dy + 1, dx + 1],
                         (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-
-                    # 1-channel guidance contributions (concat ch 32..35)
-                    def map_term(plane_sl, ch):
-                        # (10, wi) plane x (32,) kernel row -> (10, wi, 32).
-                        # The slice has an unaligned LANE offset (cols are
-                        # the planes' minor dim); Mosaic only lowers the
-                        # trailing-lane broadcast for offset-0 operands, so
-                        # realign through a scratch buffer first.
-                        mts[0:10, 0:wi] = plane_sl
-                        m32 = mts[0:10, 0:wi].astype(jnp.bfloat16).astype(
-                            jnp.float32
-                        )
-                        return jax.lax.broadcast_in_dim(
-                            m32, (10, wi, 32), (0, 1)
-                        ) * ki1_ref[dy + 1, dx + 1, ch, :].astype(jnp.float32)
-
-                    acci[...] = acci[...] + map_term(
-                        d1s[p, pl.ds(1 + ro, 10), pl.ds(2 + co, wi)], 32
+                    slm = mp4[p, pl.ds(1 + ro, 10), pl.ds(2 + co, wi), :].astype(
+                        jnp.bfloat16
                     )
-                    for mref, ch in ((m2s, 33), (m4s, 34), (m8s, 35)):
-                        acci[...] = acci[...] + map_term(
-                            mref[p, pl.ds(1 + ro, 10), pl.ds(6 + co, wi)], ch
-                        )
+                    acci[...] = acci[...] + jax.lax.dot_general(
+                        slm,
+                        km_ref[dy + 1, dx + 1],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
             i1s[q] = jnp.where(
                 i1_mask,
                 _elu(acci[...] + bi1_ref[0].astype(jnp.float32)),
@@ -320,17 +373,17 @@ def _tail_kernel(
 
     # --- final conv phases (3x3, 32 -> 1); emits sigmoid(logits), the
     # caller applies max_depth (and focal) outside -------------------------
-    # grid: rows w in [t*MP, t*MP+8), cols v in [0, w2).
-    # i1 row = w+ro - (t*MP-1) = i+1+ro (0..2); col = v+co+2 = j+2+co (1..3)
+    # grid: rows w in [t*MP, t*MP+8), cols v in [c0, c0+WB).
+    # i1 row = w+ro - (t*MP-1) = i+1+ro (0..2); col = v+co - (c0-2) = j+2+co
     for qy in (0, 1):
         for qz in (0, 1):
-            acc = jnp.zeros((MP, w2), jnp.float32)
+            acc = jnp.zeros((MP, WB), jnp.float32)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     p = 2 * ((qy + dy) % 2) + (qz + dx) % 2
                     ro = (qy + dy) // 2
                     co = (qz + dx) // 2
-                    sl = i1s[p, pl.ds(1 + ro, MP), pl.ds(2 + co, w2), :]
+                    sl = i1s[p, pl.ds(1 + ro, MP), pl.ds(2 + co, WB), :]
                     acc = acc + (
                         sl.astype(jnp.bfloat16).astype(jnp.float32)
                         * kf_ref[3 * (dy + 1) + dx + 1].astype(jnp.float32)
@@ -338,8 +391,8 @@ def _tail_kernel(
             logits = acc + bff_ref[0]
             q = 2 * qy + qz
             final_ref[0, q] = jax.nn.sigmoid(logits)
-            # d1x1 output rows = w - (t*MP-2) = i+2; cols = v+4 = j+4
-            d1x1_ref[0, q] = d1s[q, pl.ds(2, MP), pl.ds(4, w2)]
+            # d1x1 output rows = w - (t*MP-2) = i+2; cols = v - (c0-4) = j+4
+            d1x1_ref[0, q] = d1s[q, pl.ds(2, MP), pl.ds(4, WB)]
 
 
 def _round_up(n: int, m: int) -> int:
@@ -365,14 +418,15 @@ def fused_tail(
     """
     b, hh, w2, cin = iconv2.shape
     assert cin == 64 and hh % MP == 0, (iconv2.shape,)
-    xcols = _round_up(w2 + 16, 16)   # xs col max = j+5, j < w2+8 -> w2+13
-    mcols = _round_up(w2 + 16, 128)  # map col max = j+7, j < w2+4 -> w2+11
+    w2p = _round_up(w2, WB)          # column tiles of WB phase cols each
+    xcols = 16 + w2p + 16            # last x DMA window ends at w2p+24
+    mcols = 128 + w2p + 128          # last map DMA window ends exactly here
 
     bf = jnp.bfloat16
     x = iconv2.astype(bf)
-    xpad = jnp.pad(x, ((0, 0), (3, 5), (8, xcols - w2 - 8), (0, 64)))
+    xpad = jnp.pad(x, ((0, 0), (3, 5), (16, xcols - w2 - 16), (0, 64)))
     mpads = [
-        jnp.pad(m, ((0, 0), (0, 0), (2, 6), (8, mcols - w2 - 8)))
+        jnp.pad(m, ((0, 0), (0, 0), (2, 6), (128, mcols - w2 - 128)))
         for m in (d2ph, d4ph, d8ph)
     ]
 
@@ -384,6 +438,12 @@ def fused_tail(
             k4 = k4.at[u : u + 3, v : v + 3].add(k_up)
     k4 = jnp.pad(k4.astype(bf), ((0, 0), (0, 0), (0, 64), (0, 0)))
 
+    # iconv1 kernel split: rows 0..31 (upconv channels) for the main matmul,
+    # rows 32..35 (guidance maps) zero-padded to 8 for the packed matmul.
+    ki1_full = params["i1"]["kernel"].astype(bf)
+    ki1_main = ki1_full[:, :, :32, :]
+    ki1_maps = jnp.pad(ki1_full[:, :, 32:36, :], ((0, 0), (0, 0), (0, 4), (0, 0)))
+
     def as2d(v):
         return v.reshape(1, -1).astype(bf)
 
@@ -394,18 +454,19 @@ def fused_tail(
         params["r2"]["kernel"].reshape(16, 8).astype(bf), as2d(params["r2"]["bias"]),
         params["r3"]["kernel"].reshape(8, 1).T.astype(bf),
         params["r3"]["bias"].reshape(1).astype(jnp.float32),
-        params["i1"]["kernel"].astype(bf), as2d(params["i1"]["bias"]),
+        ki1_main, ki1_maps, as2d(params["i1"]["bias"]),
         params["f"]["kernel"].reshape(9, 32, 1)[..., 0].astype(bf),
         params["f"]["bias"].reshape(1).astype(jnp.float32),
     )
     nt = hh // MP
-    vspec = lambda shp: pl.BlockSpec(shp, lambda b_, t_: (0,) * len(shp))
-    out_spec = pl.BlockSpec((1, 4, MP, w2), lambda b_, t_: (b_, 0, t_, 0))
-    out_shape = jax.ShapeDtypeStruct((b, 4, hh, w2), jnp.float32)
+    nc = w2p // WB
+    vspec = lambda shp: pl.BlockSpec(shp, lambda b_, t_, c_: (0,) * len(shp))
+    out_spec = pl.BlockSpec((1, 4, MP, WB), lambda b_, t_, c_: (b_, 0, t_, c_))
+    out_shape = jax.ShapeDtypeStruct((b, 4, hh, w2p), jnp.float32)
     kernel = functools.partial(_tail_kernel, w2=w2, hh=hh)
     final_ph, d1x1_ph = pl.pallas_call(
         kernel,
-        grid=(b, nt),
+        grid=(b, nt, nc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [
             vspec((4, 4, 128, 32)), vspec((1, 32)),
@@ -413,31 +474,32 @@ def fused_tail(
             vspec((16, 8)), vspec((1, 8)),
             vspec((1, 8)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vspec((3, 3, 36, 32)), vspec((1, 32)),
+            vspec((3, 3, 32, 32)), vspec((3, 3, 8, 32)), vspec((1, 32)),
             vspec((9, 32)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
         scratch_shapes=[
-            pltpu.VMEM((_XWIN, xcols, 128), jnp.bfloat16),
-            pltpu.VMEM((4, _MWIN, mcols), jnp.float32),
-            pltpu.VMEM((4, _MWIN, mcols), jnp.float32),
-            pltpu.VMEM((4, _MWIN, mcols), jnp.float32),
-            pltpu.VMEM((16, mcols), jnp.float32),
-            pltpu.VMEM((4, 12, w2 + 8, 32), jnp.float32),    # up phases
-            pltpu.VMEM((4, 12, w2 + 8), jnp.float32),        # d1x1 phases
-            pltpu.VMEM((4, 10, w2 + 4, 32), jnp.float32),    # iconv1 phases
-            pltpu.VMEM((12, w2 + 8, 32), jnp.float32),       # up accumulator
-            pltpu.VMEM((10, w2 + 4, 32), jnp.float32),       # iconv1 accum
+            pltpu.VMEM((_XWIN, _XCW, 128), jnp.bfloat16),
+            pltpu.VMEM((4, _MWIN, _MCW), jnp.float32),
+            pltpu.VMEM((4, _MWIN, _MCW), jnp.float32),
+            pltpu.VMEM((4, _MWIN, _MCW), jnp.float32),
+            pltpu.VMEM((16, _MCW), jnp.float32),
+            pltpu.VMEM((4, 12, WB + 8, 32), jnp.float32),    # up phases
+            pltpu.VMEM((4, 12, WB + 8), jnp.float32),        # d1x1 phases
+            pltpu.VMEM((4, 12, WB + 8, 8), jnp.float32),     # packed maps
+            pltpu.VMEM((4, 10, WB + 4, 32), jnp.float32),    # iconv1 phases
+            pltpu.VMEM((12, WB + 8, 32), jnp.float32),       # up accumulator
+            pltpu.VMEM((10, WB + 4, 32), jnp.float32),       # iconv1 accum
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            # Mosaic stack-allocates every transient of the unrolled tap
-            # sums; the default 16 MiB scoped-vmem limit OOMs even though
-            # live data is far smaller.  v5e has 128 MiB VMEM.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # Mosaic stack-allocates transients of the unrolled tap sums;
+            # the per-tile live set is ~3 MiB but leave stack headroom
+            # (v5e has 128 MiB VMEM).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hh * w2 * (16 * 128 * 32 + 9 * 32 * 32 + 32 * 16 + 16 * 8)
@@ -446,11 +508,13 @@ def fused_tail(
             transcendentals=b * 4 * hh * w2 * 3,
         ),
     )(*args)
-    return final_ph, d1x1_ph
+    return final_ph[..., :w2], d1x1_ph[..., :w2]
 
 
-def tail_supported(iconv2_shape, w2_limit: int = 640) -> bool:
+def tail_supported(iconv2_shape) -> bool:
     """Static check: shapes the kernel's tiling supports (cin=64 means
-    bts_size=512, the flagship config; w2_limit bounds the VMEM scratch)."""
+    bts_size=512, the flagship config).  Width is unbounded: the kernel
+    grids over fixed WB-col tiles, so VMEM use and compile time are
+    width-independent (ragged widths are padded and masked)."""
     b, hh, w2, cin = iconv2_shape
-    return cin == 64 and hh % MP == 0 and 32 <= w2 <= w2_limit and w2 % 8 == 0
+    return cin == 64 and hh % MP == 0 and w2 >= 32 and w2 % 8 == 0

@@ -14,11 +14,16 @@ spread across the net; the largest single tensors live in the decoder tail
 This script measures the tail ALONE (random weights, random inputs) as:
   - variant "xla":  the literal composition above (what the model runs today)
   - variant "xla_nod1x1": same minus the reduction chain (isolates its cost)
+  - with --fused: also the phase-separated Pallas kernel
+    (ops.tail_pallas — MEASURED AND REJECTED: 14.7 ms vs 3.4 ms for the
+    literal tail at b1 352x1216; this flag reproduces that comparison,
+    plus a numerics check of both paths against the f32 literal truth.
+    NOTE the kernel's Mosaic compile takes ~14 min cold.)
 Each variant's jitted program is named, one trace, DEVICE spans only
 (walltime on the tunnel is untrustworthy in both directions — see
 PERFORMANCE.md measurement gotchas).
 
-Usage: python scripts/exp_tail.py [--steps 10]
+Usage: python scripts/exp_tail.py [--steps 10] [--fused]
 """
 
 from __future__ import annotations
@@ -114,13 +119,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--tracedir", default="/tmp/bts_tail_profile")
+    ap.add_argument("--fused", action="store_true",
+                    help="also measure the (rejected) Pallas tail kernel")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     p = make_params(rng)
-    iconv2 = jnp.asarray(rng.normal(size=(1, H // 2, W // 2, CIN)).astype(np.float32)).astype(
-        jnp.bfloat16
+    iconv2_f32 = jnp.asarray(
+        rng.normal(size=(1, H // 2, W // 2, CIN)).astype(np.float32)
     )
+    iconv2 = iconv2_f32.astype(jnp.bfloat16)
     maps = [
         jnp.asarray(rng.uniform(0.1, 1.0, (1, H, W, 1)).astype(np.float32)) for _ in range(3)
     ]
@@ -131,8 +139,46 @@ def main():
     def tail_nod1x1(p, iconv2, d2, d4, d8):
         return tail_xla(p, iconv2, d2, d4, d8, False)
 
+    fns = [tail_full, tail_nod1x1]
+    if args.fused:
+        from bts_tpu.ops.tail_pallas import fused_tail, interleave2x2
+
+        kp = {
+            "up": {"kernel": p["k_up"], "bias": p["b_up"]},
+            "r1": {"kernel": p["k_r1"], "bias": p["b_r1"]},
+            "r2": {"kernel": p["k_r2"], "bias": p["b_r2"]},
+            "r3": {"kernel": p["k_r3"], "bias": p["b_r3"]},
+            "i1": {"kernel": p["k_i1"], "bias": p["b_i1"]},
+            "f": {"kernel": p["k_f"], "bias": p["b_f"]},
+        }
+        # the kernel consumes PHASE-SPLIT guidance planes; deinterleave the
+        # full-res maps (inverse of interleave2x2)
+        def phase_split(m):
+            b, hh2, ww2 = m.shape[0], m.shape[1] // 2, m.shape[2] // 2
+            return (
+                m[..., 0]
+                .reshape(b, hh2, 2, ww2, 2)
+                .transpose(0, 2, 4, 1, 3)
+                .reshape(b, 4, hh2, ww2)
+            )
+
+        def tail_fused(p, iconv2, d2, d4, d8):
+            phs = [phase_split(m) for m in (d2, d4, d8)]
+            fin_ph, _ = fused_tail(iconv2, *phs, kp)
+            return 80.0 * interleave2x2(fin_ph)[..., None]
+
+        fns.append(tail_fused)
+
+        # numerics: both bf16 paths against the f32 literal truth
+        truth = np.asarray(jax.jit(
+            lambda: tail_xla(p, iconv2_f32, *maps, True))())
+        for name, fn in (("lit", tail_full), ("fus", tail_fused)):
+            got = np.asarray(jax.jit(fn)(p, iconv2, *maps))
+            err = np.abs(got - truth)
+            print(f"{name} vs f32 truth: max {err.max():.4f} mean {err.mean():.2e}")
+
     variants = {}
-    for fn in (tail_full, tail_nod1x1):
+    for fn in fns:
         fn.__name__ = "tail_" + fn.__name__.split("_", 1)[1]
         j = jax.jit(fn)
         j(p, iconv2, *maps).block_until_ready()

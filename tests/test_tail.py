@@ -147,9 +147,43 @@ def test_model_fused_tail_focal_scaling():
 
 def test_tail_supported_guards():
     assert tail_supported((1, 176, 608, 64))
+    assert tail_supported((1, 176, 1024, 64))      # width-independent tiling
     assert not tail_supported((1, 176, 608, 32))   # bts_size != 512
     assert not tail_supported((1, 175, 608, 64))   # H/2 not a tile multiple
-    assert not tail_supported((1, 176, 1024, 64))  # beyond the VMEM budget
+
+
+def test_fused_tail_ragged_width():
+    # w2 not a multiple of the WB col tile: the kernel pads to the tile
+    # grid and masks with absolute cols; outputs must match the literal
+    # composition on the real width (exercises the ragged last tile).
+    rng = np.random.default_rng(4)
+    b, hh, w2 = 1, 16, 152  # w2p = 256, last tile 24 real + 104 pad cols
+    p = _tail_params(rng)
+    iconv2 = _t(rng, b, hh, w2, 64).astype(jnp.bfloat16)
+    raws = [_t(rng, b, 2 * hh // k, 2 * w2 // k, 3) for k in (2, 4, 8)]
+    d2, d4, d8 = (lpg_fused(r, k) for r, k in zip(raws, (2, 4, 8)))
+    want_final, want_d1x1 = jax.jit(_literal_tail)(p, iconv2, d2, d4, d8)
+    phs = [lpg_phase_planes(r, k) for r, k in zip(raws, (2, 4, 8))]
+    fin_ph, d1_ph = jax.jit(lambda *a: fused_tail(*a, params=p))(iconv2, *phs)
+    ef = np.abs(np.asarray(interleave2x2(fin_ph)) - np.asarray(want_final))
+    ed = np.abs(np.asarray(interleave2x2(d1_ph)) - np.asarray(want_d1x1))
+    assert ef.mean() < 3e-3 and ef.max() < 0.15, (ef.mean(), ef.max())
+    assert ed.mean() < 2e-3 and ed.max() < 0.08, (ed.mean(), ed.max())
+
+
+def test_auto_dispatch_keeps_literal_path():
+    # The kernel is measured-and-rejected for production (PERFORMANCE.md):
+    # "auto" must resolve to the literal XLA tail; "always" engages the
+    # harness and raises loudly on unsupported shapes instead of silently
+    # falling back.
+    from bts_tpu.models.bts import _tail_ok
+
+    assert not _tail_ok("auto", False, (1, 176, 608, 64))
+    assert not _tail_ok("never", False, (1, 176, 608, 64))
+    assert _tail_ok("always", False, (1, 176, 608, 64))
+    assert not _tail_ok("always", True, (1, 176, 608, 64))  # train: no VJP
+    with pytest.raises(ValueError):
+        _tail_ok("always", False, (1, 176, 608, 32))
 
 
 def test_fused_tail_never_in_training_graph():
