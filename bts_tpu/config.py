@@ -90,6 +90,9 @@ class Config:
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     dataloader_workers: int = 2
     seed: int = 0  # base seed for init, dropout/augment PRNG, loader shuffle
+    # -- serving export (cli/bts_export.py; no reference counterpart)
+    export_path: str = ""  # output .stablehlo file for the serialized serving fn
+    export_platforms: str = ""  # comma-separated lowering targets (tpu,cpu); default: current
 
     @property
     def end_lr(self) -> float:

@@ -98,7 +98,12 @@ ips = B*n/(time.perf_counter()-t0)
 print(json.dumps({"config": 4, "metric": "densenet161_kitti_352x704_b16_dp_remat_train", "value": round(ips,3), "unit": "images/sec/mesh", "devices": len(jax.devices())}))
 """,
     5: """
-import time, numpy as np, jax, jax.numpy as jnp
+# Device-span measurement: tunnel walltime is untrustworthy in BOTH
+# directions (PERFORMANCE.md gotchas; a round-3 run of the old walltime
+# form read 153k img/s — block_until_ready returned before the device
+# finished).  ips comes from the jit_fwd_stream spans in a profiler trace.
+import glob, gzip, os, numpy as np, jax, jax.numpy as jnp
+from collections import defaultdict
 jax.config.update("jax_compilation_cache_dir", REPO + "/.jax_cache")
 from bts_tpu.models import BtsModel
 from bts_tpu.data.augment import eval_preprocess
@@ -106,14 +111,29 @@ model = BtsModel(encoder_name="densenet161_bts", max_depth=80.0, num_features=51
 rng = np.random.default_rng(0); B=8
 x = jnp.asarray(rng.integers(0,255,(B,352,1216,3),dtype=np.uint8))
 v = jax.jit(lambda k, xx: model.init(k, xx, False))(jax.random.PRNGKey(0), jnp.zeros((1,96,192,3)))
-fwd = jax.jit(lambda xx: model.apply(v, eval_preprocess(xx), False)[-1])
-fwd(x).block_until_ready()
-for _ in range(2): fwd(x).block_until_ready()
-t0=time.perf_counter(); n=15
-for _ in range(n): out = fwd(x)
-out.block_until_ready()
-ips = B*n/(time.perf_counter()-t0)
-print(json.dumps({"config": 5, "metric": "densenet161_kitti_352x1216_b8_streaming_infer", "value": round(ips,3), "unit": "images/sec/chip"}))
+def fwd_stream(xx):
+    return model.apply(v, eval_preprocess(xx), False)[-1]
+fwd = jax.jit(fwd_stream)
+for _ in range(3): fwd(x).block_until_ready()
+tracedir = "/tmp/bts_suite5_trace"; n = 15
+os.makedirs(tracedir, exist_ok=True)
+with jax.profiler.trace(tracedir):
+    for _ in range(n): out = fwd(x)
+    out.block_until_ready()
+path = max(glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True), key=os.path.getmtime)
+with gzip.open(path, "rt") as f:
+    events = json.load(f).get("traceEvents", [])
+pid_names = {e.get("pid"): e.get("args", {}).get("name", "") for e in events
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+dev_pids = {p for p, nm in pid_names.items() if "TPU" in nm or "/device" in nm.lower()}
+tot, cnt = 0.0, 0
+for e in events:
+    if e.get("ph") == "X" and e.get("pid") in dev_pids and e.get("name", "").startswith("jit_fwd_stream"):
+        tot += float(e.get("dur", 0.0)); cnt += 1
+assert cnt >= n, (cnt, n)
+ms = tot / 1e3 / cnt
+ips = B / ms * 1e3
+print(json.dumps({"config": 5, "metric": "densenet161_kitti_352x1216_b8_streaming_infer", "value": round(ips,3), "unit": "images/sec/chip", "device_ms_per_batch": round(ms,3)}))
 """,
 }
 
