@@ -93,6 +93,9 @@ class Config:
     # -- serving export (cli/bts_export.py; no reference counterpart)
     export_path: str = ""  # output .stablehlo file for the serialized serving fn
     export_platforms: str = ""  # comma-separated lowering targets (tpu,cpu); default: current
+    # -- serving server (cli/bts_serve.py; no reference counterpart)
+    serve_port: int = 8502  # HTTP port for bts_serve (0 = ephemeral)
+    serve_linger_ms: float = 5.0  # micro-batch linger window
 
     @property
     def end_lr(self) -> float:

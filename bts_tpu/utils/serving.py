@@ -17,6 +17,12 @@ loudly with the expected signature.
 
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
 import jax
 
 
@@ -30,3 +36,86 @@ def load_exported(path: str):
 
     serve.exported = exp  # expose .in_avals / .platforms for introspection
     return serve
+
+
+class MicroBatcher:
+    """Collect concurrent single-image requests into static-batch device calls.
+
+    TPU serving wants ONE static batch shape (recompilation is seconds, so
+    the exported artifact is fixed at ``batch``); production traffic arrives
+    one request at a time.  The standard reconciliation is micro-batching: a
+    dispatcher thread drains a queue, waits up to ``linger_ms`` for up to
+    ``batch`` requests, zero-pads the remainder, runs ONE device call, and
+    scatters the result rows back to per-request futures.  The device is
+    driven from a single thread (the dev tunnel — and most serving setups —
+    are effectively single-flight), while any number of HTTP threads block
+    in :meth:`submit`.
+    """
+
+    def __init__(self, fn, batch: int, *, needs_focal: bool, linger_ms: float = 5.0):
+        self._fn = fn
+        self.batch = int(batch)
+        self.needs_focal = bool(needs_focal)
+        self.linger_s = float(linger_ms) / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="bts-microbatch")
+        self._thread.start()
+
+    def submit(self, image_u8: np.ndarray, focal: float | None = None) -> np.ndarray:
+        """Blocking: returns this image's (H, W, 1) depth row."""
+        fut: Future = Future()
+        self._q.put((np.asarray(image_u8, dtype=np.uint8), focal, fut))
+        return fut.result()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # unblock the dispatcher
+        self._thread.join(timeout=5.0)
+
+    # -- dispatcher -------------------------------------------------------
+
+    def _take(self, block: bool, timeout: float | None):
+        try:
+            item = self._q.get(block=block, timeout=timeout)
+        except queue.Empty:
+            return None
+        if item is None:  # close() sentinel
+            return None
+        return item
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            first = self._take(block=True, timeout=None)
+            if first is None:
+                continue
+            group = [first]
+            while len(group) < self.batch:
+                nxt = self._take(block=True, timeout=self.linger_s)
+                if nxt is None:
+                    break
+                group.append(nxt)
+            self._run(group)
+
+    def _run(self, group) -> None:
+        n = len(group)
+        images = np.stack([g[0] for g in group])
+        if n < self.batch:
+            pad = np.zeros((self.batch - n,) + images.shape[1:], np.uint8)
+            images = np.concatenate([images, pad])
+        try:
+            if self.needs_focal:
+                focal = np.asarray(
+                    [g[1] if g[1] is not None else 0.0 for g in group]
+                    + [1.0] * (self.batch - n),
+                    np.float32,
+                )
+                out = np.asarray(self._fn(images, focal))
+            else:
+                out = np.asarray(self._fn(images))
+        except Exception as e:  # scatter the failure to every caller
+            for _, _, fut in group:
+                fut.set_exception(e)
+            return
+        for i, (_, _, fut) in enumerate(group):
+            fut.set_result(out[i])
