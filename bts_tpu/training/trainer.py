@@ -61,6 +61,11 @@ def make_train_step(
     with H,W = post-augmentation input_height/width when augment=False, else
     the pre-crop geometry (KB-cropped KITTI / border-cropped NYU).
 
+    ``cfg.grad_accum_steps > 1`` splits the delivered batch into that many
+    microbatches inside the jitted program (``lax.scan``): grads averaged,
+    BN stats sequential, ONE optimizer update — peak activation memory
+    scales with batch_size/accum (see ``grads_accumulated``).
+
     ``spatial=True`` (requires a mesh with a >1 ``model`` axis) additionally
     shards image HEIGHT over the ``model`` axis for the forward/backward:
     GSPMD partitions every conv spatially with automatic halo exchange, so
@@ -114,15 +119,63 @@ def make_train_step(
         loss = silog_loss(final[..., 0], depths, mask, cfg.variance_focus)
         return loss, (new_bs, final)
 
+    accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+
+    def grads_one_batch(params, batch_stats, batch, step_key):
+        """(loss, new_bs, depth_mean, grads) for the whole delivered batch."""
+        (loss, (new_bs, final)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch["image"], batch["depth"], batch["focal"], step_key
+        )
+        return loss, new_bs, final.mean(), grads
+
+    def grads_accumulated(params, batch_stats, batch, step_key):
+        """lax.scan over ``accum`` microbatches: grads are AVERAGED across
+        microbatches against constant params (one optimizer update per
+        delivered batch — torch-style accumulation; note silog couples
+        samples through batch means, so the averaged-microbatch loss is the
+        accumulation semantics, not a bit-exact equivalent of one big
+        batch), while BN batch_stats update SEQUENTIALLY, each microbatch
+        seeing the previous one's running averages.  Peak activation memory
+        scales with batch_size/accum — large effective batches on few
+        chips (new capability; the reference is whole-batch only)."""
+        if batch["image"].shape[0] % accum != 0:
+            raise ValueError(
+                f"batch_size {batch['image'].shape[0]} not divisible by "
+                f"--grad_accum_steps {accum}"
+            )
+        mb = batch["image"].shape[0] // accum
+
+        def split(x):
+            return x.reshape((accum, mb) + x.shape[1:])
+
+        xs = {
+            "image": split(batch["image"]),
+            "depth": split(batch["depth"]),
+            "focal": split(batch["focal"]),
+            "i": jnp.arange(accum),
+        }
+
+        def microstep(carry, x):
+            bs, gsum, loss_sum, dmean_sum = carry
+            micro = {"image": x["image"], "depth": x["depth"], "focal": x["focal"]}
+            loss, new_bs, dmean, grads = grads_one_batch(
+                params, bs, micro, jax.random.fold_in(step_key, x["i"])
+            )
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (new_bs, gsum, loss_sum + loss, dmean_sum + dmean), None
+
+        gzero = jax.tree.map(jnp.zeros_like, params)
+        (new_bs, gsum, loss_sum, dmean_sum), _ = jax.lax.scan(
+            microstep, (batch_stats, gzero, jnp.float32(0.0), jnp.float32(0.0)), xs
+        )
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        return loss_sum / accum, new_bs, dmean_sum / accum, grads
+
     def train_step(state: TrainState, batch: dict, key) -> Tuple[TrainState, dict]:
         step_key = jax.random.fold_in(key, state.step)
-        (loss, (new_bs, final)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params,
-            state.batch_stats,
-            batch["image"],
-            batch["depth"],
-            batch["focal"],
-            step_key,
+        compute_grads = grads_one_batch if accum == 1 else grads_accumulated
+        loss, new_bs, depth_mean, grads = compute_grads(
+            state.params, state.batch_stats, batch, step_key
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -134,7 +187,7 @@ def make_train_step(
         )
         metrics = {
             "loss": loss,
-            "depth_mean": final.mean(),
+            "depth_mean": depth_mean,
             "grad_norm": optax.global_norm(grads),
         }
         if lr_schedule is not None:

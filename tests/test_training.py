@@ -141,3 +141,91 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     rt = restore_for_retrain(mgr, template)
     assert int(rt.step) == 0
     mgr.close()
+
+
+def test_grad_accum_duplicated_microbatch_exact(rng):
+    """With frozen BN, no augmentation, and the delivered batch = the same
+    microbatch stacked twice, averaged microbatch grads equal the single-
+    microbatch grads exactly — so the accum=2 step must reproduce the
+    accum=1 step on one copy bit-for-bit (f32)."""
+    cfg1 = tiny_cfg(batch_size=4, bn_no_track_stats=True)
+    cfg2 = cfg1.replace(batch_size=8, grad_accum_steps=2)
+    model = tiny_model(cfg1)
+    tx = make_optimizer(cfg1, total_steps=50)
+    micro = make_batch(rng, 4, 32, 64)
+    dup = {k: np.concatenate([v, v]) for k, v in micro.items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 64, 3)), True)
+    key = jax.random.PRNGKey(3)
+
+    state_1 = TrainState.create(jax.tree.map(jnp.copy, variables), tx)
+    step_1 = make_train_step(model, tx, cfg1, augment=False)
+    # accum=1 derives its augment key as fold_in(step_key, 0) only when
+    # accum>1; with augment=False the key never reaches any RNG, so the two
+    # paths see identical math
+    state_1, m_1 = step_1(state_1, {k: jnp.asarray(v) for k, v in micro.items()}, key)
+
+    state_2 = TrainState.create(jax.tree.map(jnp.copy, variables), tx)
+    step_2 = make_train_step(model, tx, cfg2, augment=False)
+    state_2, m_2 = step_2(state_2, {k: jnp.asarray(v) for k, v in dup.items()}, key)
+
+    np.testing.assert_allclose(float(m_1["loss"]), float(m_2["loss"]), rtol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_1.params), jax.tree.leaves(state_2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-7)
+
+
+def test_grad_accum_reduces_loss_and_updates_bn(rng):
+    cfg = tiny_cfg(batch_size=8, grad_accum_steps=4)
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, total_steps=50)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 8, 40, 72).items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 64, 3)), True)
+    state = TrainState.create(variables, tx)
+    bn0 = jax.tree.leaves(state.batch_stats)[0].copy()
+    step = make_train_step(model, tx, cfg, augment=True)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, key)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # BN running stats advanced through the sequential microbatch scan
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.batch_stats)[0]), np.asarray(bn0))
+
+
+def test_grad_accum_data_parallel_mesh_matches_single(rng):
+    """accum=2 over the 8-device DP mesh vs accum=2 single-device."""
+    cfg = tiny_cfg(batch_size=16, grad_accum_steps=2)
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, total_steps=50)
+    batch = make_batch(rng, 16, 40, 72)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 64, 3)), True)
+    key = jax.random.PRNGKey(0)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    mesh = create_mesh()
+    from bts_tpu.parallel.mesh import replicated_sharding
+
+    state_b = jax.device_put(TrainState.create(variables, tx), replicated_sharding(mesh))
+    state_a = TrainState.create(jax.tree.map(jnp.copy, variables), tx)
+    step_a = make_train_step(model, tx, cfg, mesh=None, augment=True)
+    state_a, m_a = step_a(state_a, jb, key)
+    step_b = make_train_step(model, tx, cfg, mesh=mesh, augment=True)
+    state_b, m_b = step_b(state_b, shard_batch(jb, mesh), key)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    pa = jax.tree.leaves(state_a.params)[0]
+    pb = jax.tree.leaves(state_b.params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    cfg = tiny_cfg(batch_size=6, grad_accum_steps=4)
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, total_steps=50)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 6, 32, 64).items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 64, 3)), True)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, cfg, augment=False)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch, jax.random.PRNGKey(0))
