@@ -49,7 +49,9 @@ class MicroBatcher:
     scatters the result rows back to per-request futures.  The device is
     driven from a single thread (the dev tunnel — and most serving setups —
     are effectively single-flight), while any number of HTTP threads block
-    in :meth:`submit`.
+    in :meth:`submit`.  Dispatch is double-buffered: one batch may be in
+    flight on the device while the dispatcher collects the next (see
+    :meth:`_loop`), overlapping host-side decode with device compute.
     """
 
     def __init__(self, fn, batch: int, *, needs_focal: bool, linger_ms: float = 5.0):
@@ -85,9 +87,19 @@ class MicroBatcher:
         return item
 
     def _loop(self) -> None:
+        # Double-buffered: jax dispatch is async, so after launching a batch
+        # we go straight back to collecting the next one and only materialize
+        # (block on) the previous result once the next launch is in flight —
+        # host decode/collect overlaps device compute.  At most ONE batch is
+        # in flight (`pending`); with no follow-up traffic the idle poll
+        # scatters it after <= linger_ms.
+        pending = None  # (group, unmaterialized device result)
         while not self._stop.is_set():
-            first = self._take(block=True, timeout=None)
+            first = self._take(block=True, timeout=self.linger_s if pending else None)
             if first is None:
+                if pending is not None:
+                    self._scatter(*pending)
+                    pending = None
                 continue
             group = [first]
             while len(group) < self.batch:
@@ -95,9 +107,15 @@ class MicroBatcher:
                 if nxt is None:
                     break
                 group.append(nxt)
-            self._run(group)
+            out = self._dispatch(group)
+            if pending is not None:
+                self._scatter(*pending)
+            pending = (group, out) if out is not None else None
+        if pending is not None:  # close() mid-flight: flush the last batch
+            self._scatter(*pending)
 
-    def _run(self, group) -> None:
+    def _dispatch(self, group):
+        """Launch one device call; returns the (async) result or None on error."""
         n = len(group)
         images = np.stack([g[0] for g in group])
         if n < self.batch:
@@ -110,10 +128,18 @@ class MicroBatcher:
                     + [1.0] * (self.batch - n),
                     np.float32,
                 )
-                out = np.asarray(self._fn(images, focal))
-            else:
-                out = np.asarray(self._fn(images))
+                return self._fn(images, focal)
+            return self._fn(images)
         except Exception as e:  # scatter the failure to every caller
+            for _, _, fut in group:
+                fut.set_exception(e)
+            return None
+
+    def _scatter(self, group, out) -> None:
+        """Materialize a dispatched result and resolve its futures."""
+        try:
+            out = np.asarray(out)  # blocks; async device errors surface here
+        except Exception as e:
             for _, _, fut in group:
                 fut.set_exception(e)
             return

@@ -9,8 +9,10 @@ import io
 import json
 import os
 import threading
+import time
 import urllib.error
 import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pytest
@@ -218,3 +220,70 @@ def test_microbatcher_padding_and_errors():
             mb.submit(np.zeros((2, 3, 3), np.uint8))
     finally:
         mb.close()
+
+
+class _Lazy:
+    """Stands in for an async jax Array: materialization blocks, not dispatch."""
+
+    def __init__(self, arr, delay_s):
+        self._arr, self._delay = arr, delay_s
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(self._delay)
+        return self._arr if dtype is None else self._arr.astype(dtype)
+
+
+def test_microbatcher_pipelined_groups_map_rows_correctly():
+    """Double-buffered dispatch: results land on the right request even with
+    a batch in flight while the next is collected, and deferred
+    materialization errors still reach the right callers."""
+    dispatched = []
+
+    def fn(images):
+        dispatched.append(images.copy())
+        return _Lazy(images[..., :1].astype(np.float32) + 1.0, delay_s=0.03)
+
+    mb = MicroBatcher(fn, batch=2, needs_focal=False, linger_ms=2.0)
+    try:
+        imgs = [np.full((2, 2, 3), i, np.uint8) for i in range(6)]
+        with ThreadPoolExecutor(6) as ex:
+            outs = list(ex.map(mb.submit, imgs))
+        for i, out in enumerate(outs):
+            np.testing.assert_array_equal(out, np.full((2, 2, 1), i + 1.0, np.float32))
+        assert len(dispatched) >= 3  # 6 singles at batch=2 -> >= 3 device calls
+    finally:
+        mb.close()
+
+    def lazy_boom(images):
+        class _Boom:
+            def __array__(self, dtype=None, copy=None):
+                raise RuntimeError("async device failure")
+
+        return _Boom()
+
+    mb = MicroBatcher(lazy_boom, batch=2, needs_focal=False, linger_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="async device failure"):
+            mb.submit(np.zeros((2, 3, 3), np.uint8))
+    finally:
+        mb.close()
+
+
+def test_microbatcher_close_flushes_in_flight_batch():
+    """close() right after submit must still resolve the pending future."""
+    def fn(images):
+        return _Lazy(images[..., :1].astype(np.float32), delay_s=0.1)
+
+    mb = MicroBatcher(fn, batch=2, needs_focal=False, linger_ms=50.0)
+    fut_holder = []
+
+    def submit():
+        fut_holder.append(mb.submit(np.full((2, 2, 3), 5, np.uint8)))
+
+    t = threading.Thread(target=submit)
+    t.start()
+    time.sleep(0.08)  # let the dispatcher pick it up / launch
+    mb.close()
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    np.testing.assert_array_equal(fut_holder[0], np.full((2, 2, 1), 5.0, np.float32))
