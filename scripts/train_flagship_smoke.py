@@ -1,17 +1,19 @@
 """Flagship end-to-end training smoke on real hardware.
 
 VERDICT r2 "missing #3": the flagship densenet161 recipe had no training
-evidence beyond tiny-net CPU fits.  Real KITTI is unavailable offline, so
-this harness generates a *synthetic but KITTI-shaped* dataset (375x1242
-uint8 PNGs + uint16 x256 sparse-top depth, eigen-style split lines with
-the KITTI focal) in which depth is pixel-wise decodable from the red
-channel — a scene a correct train stack must fit — and drives the REAL
-CLI chain on it:
+evidence beyond tiny-net CPU fits.  Real KITTI/NYU are unavailable
+offline, so this harness generates a *synthetic but dataset-shaped*
+scene set (uint8 PNGs + uint16 x256/x1000 depth, eigen-style split lines
+with the dataset focal) in which depth is pixel-wise decodable from the
+red channel — a scene a correct train stack must fit — and drives the
+REAL CLI chain on it:
 
-    bts_main  @flagship args (densenet161, 352x704 b16 --remat, kb_crop,
-              random rotate, poly-decay AdamW — the config-4 recipe)
-    bts_test  (b1 352x1216 kb-crop inference, uint16 PNG predictions)
-    bts_eval  (garg crop, 9-metric table)
+    bts_main  --dataset kitti: the config-4 flagship recipe (densenet161,
+              352x704 b16 --remat, kb_crop, rotate, poly-decay AdamW);
+              --dataset nyu: the config-3 recipe (resnext101 416x544 b4,
+              border-crop + rotate 2.5, dense x1000 GT)
+    bts_test  (b1 inference at the dataset eval shape, uint16 PNGs)
+    bts_eval  (garg/eigen crop, 9-metric table)
 
 It runs the eval chain twice — once from RANDOM INIT (bts_test's
 documented no-checkpoint fallback) and once from the final checkpoint —
@@ -40,43 +42,67 @@ from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 KITTI_FOCAL = 721.5377
+NYU_FOCAL = 518.8579
+
+# Per-dataset scene + recipe parameters.  KITTI = the config-4 flagship
+# recipe (densenet161 352x704 b16 --remat kb_crop); NYU = the config-3
+# recipe (resnext101 416x544 b4 — also exercises the grouped-conv
+# encoder and the x1000/eigen-crop/border-crop NYU path end to end).
+DATASETS = {
+    "kitti": dict(
+        h=375, w=1242, max_depth=80.0, focal=KITTI_FOCAL, sparse_top=True,
+        encoder="densenet161_bts", batch_size=16, ih=352, iw=704,
+        degree=1.0, remat=True, kb_crop=True,
+        test_hw=None,  # test at the dataset's native res via kb_crop
+    ),
+    "nyu": dict(
+        h=480, w=640, max_depth=10.0, focal=NYU_FOCAL, sparse_top=False,
+        encoder="resnext101_bts", batch_size=4, ih=416, iw=544,
+        degree=2.5, remat=False, kb_crop=False,
+        test_hw=(480, 640),
+    ),
+}
 
 
-def make_scene(rng: np.random.Generator, h=375, w=1242):
-    """Depth decodable from the red channel: R = 255*(1 - depth/80).
+def make_scene(rng: np.random.Generator, h, w, max_depth, sparse_top):
+    """Depth decodable from the red channel: R = 255*(1 - depth/max_depth).
 
-    Background: vertical ramp 60 m (sky line) -> 5 m (hood), plus 2-5
-    box 'vehicles' at random nearer depths.  Rows above the lidar-style
-    cutoff have depth 0 (invalid), mirroring KITTI's sparse-top GT.
+    Background: vertical far->near ramp, plus 2-5 box 'objects' at random
+    nearer depths.  With ``sparse_top`` the rows above a lidar-style
+    cutoff have depth 0 (invalid), mirroring KITTI's sparse-top GT;
+    NYU-style GT stays dense.
     """
+    far, near = 0.75 * max_depth, 0.0625 * max_depth
     yy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
-    depth = 60.0 - 55.0 * yy  # 60 m at top -> 5 m at bottom
+    depth = far - (far - near) * yy
     depth = np.broadcast_to(depth, (h, w)).copy()
     for _ in range(int(rng.integers(2, 6))):
-        bw = int(rng.integers(80, 260))
-        bh = int(rng.integers(60, 160))
+        bw = int(rng.integers(w // 16, w // 5))
+        bh = int(rng.integers(h // 6, h // 2.5))
         x0 = int(rng.integers(0, w - bw))
         y0 = int(rng.integers(h // 3, h - bh))
-        depth[y0 : y0 + bh, x0 : x0 + bw] = float(rng.uniform(3.0, 30.0))
-    r = np.clip(255.0 * (1.0 - depth / 80.0), 0, 255)
+        depth[y0 : y0 + bh, x0 : x0 + bw] = float(
+            rng.uniform(0.04 * max_depth, 0.375 * max_depth))
+    r = np.clip(255.0 * (1.0 - depth / max_depth), 0, 255)
     g = np.clip(r + rng.normal(0, 6.0, (h, w)), 0, 255)  # decorrelated noise
     b = np.clip(255.0 * yy + rng.normal(0, 6.0, (h, w)), 0, 255)
     img = np.stack([r, np.broadcast_to(g, (h, w)), b], -1).astype(np.uint8)
-    cutoff = int(0.28 * h)  # no returns near the top, like real lidar GT
-    depth[:cutoff] = 0.0
-    return img, (depth * 256.0).astype(np.uint16)
+    if sparse_top:
+        depth[: int(0.28 * h)] = 0.0  # no returns near the top, like lidar
+    scale = 256.0 if max_depth > 20 else 1000.0  # kitti x256 / nyu x1000
+    return img, (depth * scale).astype(np.uint16)
 
 
-def gen_dataset(root: str, n_train=64, n_eval=8):
+def gen_dataset(root: str, ds: dict, focal: float, n_train=64, n_eval=8):
     rng = np.random.default_rng(42)
     for sub in ("rgb", "depth"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     train_lines, eval_lines = [], []
     for i in range(n_train + n_eval):
-        img, d = make_scene(rng)
+        img, d = make_scene(rng, ds["h"], ds["w"], ds["max_depth"], ds["sparse_top"])
         Image.fromarray(img).save(os.path.join(root, "rgb", f"{i:04d}.png"))
         Image.fromarray(d).save(os.path.join(root, "depth", f"{i:04d}.png"))
-        line = f"rgb/{i:04d}.png depth/{i:04d}.png {KITTI_FOCAL}"
+        line = f"rgb/{i:04d}.png depth/{i:04d}.png {focal}"
         (train_lines if i < n_train else eval_lines).append(line)
     with open(os.path.join(root, "train.txt"), "w") as f:
         f.write("\n".join(train_lines))
@@ -113,41 +139,50 @@ def parse_metrics(eval_out: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--dataset", choices=sorted(DATASETS), default="kitti")
     ap.add_argument("--root", default="/tmp/bts_flagship_smoke")
     ap.add_argument("--fresh", action="store_true", help="regenerate data + runs")
     args = ap.parse_args()
 
-    data = os.path.join(args.root, "data")
-    runs = os.path.join(args.root, "runs")
-    if args.fresh and os.path.isdir(args.root):
-        shutil.rmtree(args.root)
+    ds = DATASETS[args.dataset]
+    root = os.path.join(args.root, args.dataset)
+    data = os.path.join(root, "data")
+    runs = os.path.join(root, "runs")
+    if args.fresh and os.path.isdir(root):
+        shutil.rmtree(root)
     if not os.path.isfile(os.path.join(data, "train.txt")):
-        print("generating synthetic KITTI-shaped dataset ...", flush=True)
-        gen_dataset(data)
+        print(f"generating synthetic {args.dataset}-shaped dataset ...", flush=True)
+        gen_dataset(data, ds, ds["focal"])
     if os.path.isdir(runs):
         shutil.rmtree(runs)
 
-    steps_per_epoch = 64 // args.batch_size
+    batch_size = ds["batch_size"]
+    steps_per_epoch = 64 // batch_size
     epochs = max(1, args.steps // steps_per_epoch)
     save_freq = max(steps_per_epoch, args.steps // 4)
 
     train_args = [
         "bts_tpu.cli.bts_main",
         "--mode", "train", "--model_name", "flagship_smoke",
-        "--encoder", "densenet161_bts", "--dataset", "kitti",
+        "--encoder", ds["encoder"], "--dataset", args.dataset,
         "--data_path", data, "--gt_path", data,
         "--filenames_file", os.path.join(data, "train.txt"),
-        "--batch_size", str(args.batch_size), "--num_epochs", str(epochs),
+        "--batch_size", str(batch_size), "--num_epochs", str(epochs),
         "--learning_rate", "1e-4", "--weight_decay", "1e-2",
-        "--adam_eps", "1e-3", "--input_height", "352", "--input_width", "704",
-        "--max_depth", "80", "--do_kb_crop", "--do_random_rotate",
-        "--degree", "1.0", "--remat", "--log_freq", str(steps_per_epoch),
+        "--adam_eps", "1e-3",
+        "--input_height", str(ds["ih"]), "--input_width", str(ds["iw"]),
+        "--max_depth", str(int(ds["max_depth"])), "--do_random_rotate",
+        "--degree", str(ds["degree"]), "--log_freq", str(steps_per_epoch),
         "--save_freq", str(save_freq), "--log_directory", runs,
     ]
+    if ds["kb_crop"]:
+        train_args += ["--do_kb_crop"]
+    if ds["remat"]:
+        train_args += ["--remat"]
     print(f"training: {epochs} epochs x {steps_per_epoch} steps/epoch "
-          f"(b{args.batch_size} 352x704 --remat) ...", flush=True)
-    train_out = run(train_args, os.path.join(args.root, "train.log"))
+          f"({ds['encoder']} b{batch_size} {ds['ih']}x{ds['iw']}"
+          f"{' --remat' if ds['remat'] else ''}) ...", flush=True)
+    train_out = run(train_args, os.path.join(root, "train.log"))
     losses = parse_losses(train_out)
     print(f"loss: first={losses[0][1]:.4f} last={losses[-1][1]:.4f} "
           f"({len(losses)} logged)", flush=True)
@@ -158,32 +193,50 @@ def main():
     # "final" = the latest saved checkpoint from the training run above.
     for tag, ckpt_args in (("untrained", []), ("final", ["--checkpoint_path", ckpt])):
         common = [
-            "--dataset", "kitti", "--encoder", "densenet161_bts",
-            "--max_depth", "80", "--data_path", data, "--gt_path", data,
-            "--filenames_file", os.path.join(data, "eval.txt"), "--do_kb_crop",
+            "--dataset", args.dataset, "--encoder", ds["encoder"],
+            "--max_depth", str(int(ds["max_depth"])),
+            "--data_path", data, "--gt_path", data,
+            "--filenames_file", os.path.join(data, "eval.txt"),
         ]
-        pred = os.path.join(args.root, f"preds_{tag}")
+        if ds["kb_crop"]:
+            common += ["--do_kb_crop"]
+        if ds["test_hw"]:
+            common += ["--input_height", str(ds["test_hw"][0]),
+                       "--input_width", str(ds["test_hw"][1])]
+        pred = os.path.join(root, f"preds_{tag}")
         print(f"test+eval ({tag}) ...", flush=True)
         run(["bts_tpu.cli.bts_test"] + common + ckpt_args + [
             "--out_path", pred,
-        ], os.path.join(args.root, f"test_{tag}.log"))
+        ], os.path.join(root, f"test_{tag}.log"))
+        crop_flag = "--garg_crop" if args.dataset == "kitti" else "--eigen_crop"
         eval_out = run(["bts_tpu.cli.bts_eval"] + common + [
             "--out_path", os.path.join(pred, "raw"),
-            "--min_depth_eval", "1e-3", "--max_depth_eval", "80", "--garg_crop",
-        ], os.path.join(args.root, f"eval_{tag}.log"))
+            "--min_depth_eval", "1e-3",
+            "--max_depth_eval", str(int(ds["max_depth"])), crop_flag,
+        ], os.path.join(root, f"eval_{tag}.log"))
         evals[tag] = parse_metrics(eval_out)
         print(f"  {tag}: {evals[tag]}", flush=True)
 
     result = {
-        "recipe": f"densenet161 kitti 352x704 b{args.batch_size} remat kb_crop rotate",
+        "recipe": f"{ds['encoder']} {args.dataset} {ds['ih']}x{ds['iw']} "
+                  f"b{batch_size}{' remat' if ds['remat'] else ''}"
+                  f"{' kb_crop' if ds['kb_crop'] else ''} rotate",
         "steps": losses[-1][0] if losses else None,
         "loss_first": losses[0][1] if losses else None,
         "loss_last": losses[-1][1] if losses else None,
         "eval": evals,
     }
-    with open(os.path.join(REPO, "FLAGSHIP_SMOKE.json"), "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    out_path = os.path.join(REPO, "FLAGSHIP_SMOKE.json")
+    merged = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        if "recipe" in merged:  # migrate the pre-keyed single-recipe format
+            merged = {"kitti": merged}
+    merged[args.dataset] = result
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps({args.dataset: result}))
 
 
 if __name__ == "__main__":
