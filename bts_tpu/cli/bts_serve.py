@@ -68,7 +68,16 @@ def build_backend(cfg):
 def make_server(cfg) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving; caller runs serve_forever)."""
     fn, batch, height, width, needs_focal = build_backend(cfg)
-    batcher = MicroBatcher(fn, batch, needs_focal=needs_focal, linger_ms=cfg.serve_linger_ms)
+    # --num_devices N > 1 turns the micro-batcher into a replica pool:
+    # micro-batches round-robin across devices, one in flight per device
+    # (weights replicate per device on first use; the exported artifact /
+    # jitted closure compiles once per placement).
+    n_dev = cfg.num_devices if cfg.num_devices > 0 else len(jax.local_devices())
+    devices = jax.local_devices()[:n_dev] if n_dev > 1 else None
+    if devices:
+        print(f"[bts_tpu] replica pool over {len(devices)} devices")
+    batcher = MicroBatcher(fn, batch, needs_focal=needs_focal,
+                           linger_ms=cfg.serve_linger_ms, devices=devices)
     dataset = cfg.dataset
 
     class Handler(BaseHTTPRequestHandler):

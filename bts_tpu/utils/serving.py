@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import Future
 
 import numpy as np
@@ -49,16 +50,24 @@ class MicroBatcher:
     scatters the result rows back to per-request futures.  The device is
     driven from a single thread (the dev tunnel — and most serving setups —
     are effectively single-flight), while any number of HTTP threads block
-    in :meth:`submit`.  Dispatch is double-buffered: one batch may be in
-    flight on the device while the dispatcher collects the next (see
-    :meth:`_loop`), overlapping host-side decode with device compute.
+    in :meth:`submit`.  Dispatch is pipelined: with ``devices`` given, the
+    batcher becomes a *replica pool* — successive micro-batches are
+    committed round-robin to each device (the jitted fn compiles once per
+    placement and the replicated weights are transferred on first use), so
+    up to ``len(devices)`` batches compute concurrently; without
+    ``devices`` it keeps one batch in flight (double-buffering), which
+    already overlaps host-side decode with device compute.
     """
 
-    def __init__(self, fn, batch: int, *, needs_focal: bool, linger_ms: float = 5.0):
+    def __init__(self, fn, batch: int, *, needs_focal: bool, linger_ms: float = 5.0,
+                 devices=None):
         self._fn = fn
         self.batch = int(batch)
         self.needs_focal = bool(needs_focal)
         self.linger_s = float(linger_ms) / 1e3
+        self._devices = list(devices) if devices else []
+        self._max_inflight = max(1, len(self._devices))
+        self._rr = 0  # next replica (round-robin)
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="bts-microbatch")
@@ -87,19 +96,19 @@ class MicroBatcher:
         return item
 
     def _loop(self) -> None:
-        # Double-buffered: jax dispatch is async, so after launching a batch
-        # we go straight back to collecting the next one and only materialize
-        # (block on) the previous result once the next launch is in flight —
-        # host decode/collect overlaps device compute.  At most ONE batch is
-        # in flight (`pending`); with no follow-up traffic the idle poll
-        # scatters it after <= linger_ms.
-        pending = None  # (group, unmaterialized device result)
+        # Pipelined: jax dispatch is async, so after launching a batch we go
+        # straight back to collecting the next one and only materialize
+        # (block on) the OLDEST in-flight result once a launch slot is
+        # needed — host decode/collect overlaps device compute.  At most
+        # one batch is in flight per replica (one total without a device
+        # pool); with no follow-up traffic the idle poll drains the
+        # pipeline within <= linger_ms per batch.
+        pending: deque = deque()  # (group, unmaterialized device result)
         while not self._stop.is_set():
             first = self._take(block=True, timeout=self.linger_s if pending else None)
             if first is None:
-                if pending is not None:
-                    self._scatter(*pending)
-                    pending = None
+                if pending:
+                    self._scatter(*pending.popleft())
                 continue
             group = [first]
             while len(group) < self.batch:
@@ -107,12 +116,13 @@ class MicroBatcher:
                 if nxt is None:
                     break
                 group.append(nxt)
+            if len(pending) >= self._max_inflight:  # free the oldest slot
+                self._scatter(*pending.popleft())
             out = self._dispatch(group)
-            if pending is not None:
-                self._scatter(*pending)
-            pending = (group, out) if out is not None else None
-        if pending is not None:  # close() mid-flight: flush the last batch
-            self._scatter(*pending)
+            if out is not None:
+                pending.append((group, out))
+        while pending:  # close() mid-flight: flush the remaining batches
+            self._scatter(*pending.popleft())
 
     def _dispatch(self, group):
         """Launch one device call; returns the (async) result or None on error."""
@@ -122,14 +132,18 @@ class MicroBatcher:
             pad = np.zeros((self.batch - n,) + images.shape[1:], np.uint8)
             images = np.concatenate([images, pad])
         try:
+            args = [images]
             if self.needs_focal:
-                focal = np.asarray(
+                args.append(np.asarray(
                     [g[1] if g[1] is not None else 0.0 for g in group]
                     + [1.0] * (self.batch - n),
                     np.float32,
-                )
-                return self._fn(images, focal)
-            return self._fn(images)
+                ))
+            if self._devices:  # commit inputs to the next replica's device
+                dev = self._devices[self._rr]
+                self._rr = (self._rr + 1) % len(self._devices)
+                args = [jax.device_put(a, dev) for a in args]
+            return self._fn(*args)
         except Exception as e:  # scatter the failure to every caller
             for _, _, fut in group:
                 fut.set_exception(e)

@@ -269,6 +269,29 @@ def test_microbatcher_pipelined_groups_map_rows_correctly():
         mb.close()
 
 
+def test_microbatcher_replica_pool_round_robins_devices():
+    """With a device pool, micro-batches commit round-robin across devices
+    and results still land on the right requests."""
+    seen = []
+
+    def fn(images):
+        seen.append(tuple(images.devices()))
+        return jnp.asarray(images[..., :1], jnp.float32) + 1.0
+
+    devs = jax.devices()[:4]
+    assert len(devs) == 4  # conftest provisions 8 virtual CPU devices
+    mb = MicroBatcher(fn, batch=1, needs_focal=False, linger_ms=1.0, devices=devs)
+    try:
+        imgs = [np.full((2, 2, 3), i, np.uint8) for i in range(8)]
+        with ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(mb.submit, imgs))
+        for i, out in enumerate(outs):
+            np.testing.assert_array_equal(out, np.full((2, 2, 1), i + 1.0, np.float32))
+        assert len({d for ds in seen for d in ds}) == 4  # every replica used
+    finally:
+        mb.close()
+
+
 def test_microbatcher_close_flushes_in_flight_batch():
     """close() right after submit must still resolve the pending future."""
     def fn(images):
