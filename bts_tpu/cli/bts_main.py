@@ -149,15 +149,36 @@ def main(argv=None):
 
     maybe_init_distributed()
     print(f"[bts_tpu] devices: {jax.devices()} ({jax.process_count()} hosts)")
-    # --spatial_shards N: 2-D (data, model) mesh; image height is sharded
-    # over the model axis so one sample's activations span N chips' HBM
-    # (resolutions beyond a single chip; no reference counterpart)
-    mesh = create_mesh(cfg.num_devices, model_axis=cfg.spatial_shards)
+    # --spatial_shards N [--spatial_shards_w M]: (data, model[, model_w])
+    # mesh; image height (and optionally width: 2-D decomposition) is
+    # sharded over the model axes so one sample's activations span N*M
+    # chips' HBM (resolutions beyond a single chip; no reference counterpart)
+    mesh = create_mesh(
+        cfg.num_devices,
+        model_axis=cfg.spatial_shards,
+        model_w_axis=cfg.spatial_shards_w,
+    )
     n_data = mesh.shape["data"]
     if cfg.batch_size % n_data != 0:
         raise SystemExit(f"batch_size {cfg.batch_size} not divisible by {n_data} devices")
-    if cfg.spatial_shards > 1:
-        print(f"[bts_tpu] spatial sharding: H over {cfg.spatial_shards} devices")
+    spatial_on = cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1
+    if spatial_on:
+        # the post-augmentation activations are what span devices; their
+        # geometry must tile the spatial mesh axes exactly
+        if cfg.input_height % cfg.spatial_shards != 0:
+            raise SystemExit(
+                f"input_height {cfg.input_height} not divisible by "
+                f"--spatial_shards {cfg.spatial_shards}"
+            )
+        if cfg.input_width % cfg.spatial_shards_w != 0:
+            raise SystemExit(
+                f"input_width {cfg.input_width} not divisible by "
+                f"--spatial_shards_w {cfg.spatial_shards_w}"
+            )
+        print(
+            f"[bts_tpu] spatial sharding: H over {cfg.spatial_shards} x "
+            f"W over {cfg.spatial_shards_w} devices"
+        )
 
     loader = BtsDataLoader(cfg, "train")
     steps_per_epoch = loader.steps_per_epoch()
@@ -166,7 +187,7 @@ def main(argv=None):
 
     model = create_model(cfg)
     trainer = Trainer(
-        model, cfg, total_steps, mesh=mesh, augment=True, spatial=cfg.spatial_shards > 1
+        model, cfg, total_steps, mesh=mesh, augment=True, spatial=spatial_on
     )
     eval_step = make_eval_step(model, cfg)
 

@@ -87,34 +87,39 @@ def main(argv=None):
             focal=focal if use_focal else None,
         )
 
-    if cfg.spatial_shards > 1:
-        # --spatial_shards N: image height sharded over N chips (GSPMD halo
-        # exchange through the conv pyramid) — full-resolution inference
+    if cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1:
+        # --spatial_shards N [--spatial_shards_w M]: image height (and
+        # optionally width: 2-D decomposition) sharded over N*M chips (GSPMD
+        # halo exchange through the conv pyramid) — full-resolution inference
         # beyond one chip's HBM, straight from the CLI (no reference analog).
-        # The mesh spans ALL visible devices (like bts_main): height over the
-        # ``model`` axis, batch over the remaining ``data`` axis, so dp x sp
-        # compose and no chip idles when devices > spatial_shards.
+        # The mesh spans ALL visible devices (like bts_main): H/W over the
+        # ``model``/``model_w`` axes, batch over the remaining ``data`` axis,
+        # so dp x sp compose and no chip idles when devices > shards.
         from bts_tpu.parallel.mesh import (
             create_mesh,
             replicated_sharding,
             spatial_sharding,
         )
 
+        n_sp = cfg.spatial_shards * cfg.spatial_shards_w
         n_dev = len(jax.devices()) if cfg.num_devices <= 0 else cfg.num_devices
-        n_data = max(1, n_dev // cfg.spatial_shards)
+        n_data = max(1, n_dev // n_sp)
         if cfg.batch_size % n_data != 0:
             # batch must divide over the data axis; shrink it (batch-1 default
-            # => pure spatial over spatial_shards chips, like round 2)
+            # => pure spatial over the shard devices, like round 2)
             n_data = 1
         mesh = create_mesh(
-            num_devices=n_data * cfg.spatial_shards, model_axis=cfg.spatial_shards
+            num_devices=n_data * n_sp,
+            model_axis=cfg.spatial_shards,
+            model_w_axis=cfg.spatial_shards_w,
         )
         repl, sp = replicated_sharding(mesh), spatial_sharding(mesh)
         forward = jax.jit(
             _forward, in_shardings=(repl, repl, sp, repl), out_shardings=sp
         )
         print(
-            f"[bts_tpu] spatial inference: H over {cfg.spatial_shards} devices, "
+            f"[bts_tpu] spatial inference: H over {cfg.spatial_shards} x "
+            f"W over {cfg.spatial_shards_w} devices, "
             f"batch over {mesh.shape['data']}"
         )
     else:

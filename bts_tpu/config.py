@@ -88,6 +88,7 @@ class Config:
     fused_tail: str = "auto"  # auto | always | never; auto=OFF (kernel measured 4.3x slower than XLA tail, see PERFORMANCE.md); always = reproduction harness
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
+    spatial_shards_w: int = 1  # additionally shard image WIDTH (model_w mesh axis); composes with spatial_shards into a 2-D spatial decomposition
     grad_accum_steps: int = 1  # microbatches per optimizer step (batch_size must divide; peak activation memory scales with batch_size/grad_accum_steps)
     dataloader_workers: int = 2
     seed: int = 0  # base seed for init, dropout/augment PRNG, loader shuffle

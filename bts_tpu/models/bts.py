@@ -294,8 +294,10 @@ def create_model(cfg) -> BtsModel:
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
         # the fused tail's row halos cannot cross spatial-shard boundaries;
-        # force the literal (GSPMD-proven) path under --spatial_shards
-        fused_tail="never" if cfg.spatial_shards > 1 else cfg.fused_tail,
+        # force the literal (GSPMD-proven) path under --spatial_shards[_w]
+        fused_tail="never"
+        if (cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1)
+        else cfg.fused_tail,
     )
 
 

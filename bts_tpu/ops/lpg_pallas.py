@@ -250,7 +250,8 @@ def _check_divisible(arg_shapes, k: int):
                 raise ValueError(
                     f"Pallas LPG (k={k}): dim {dim} of plane grid {s.shape} is "
                     f"sharded {n}-way but {size} % {n} != 0 — choose "
-                    f"--spatial_shards so input_height/(8*shards) is an integer"
+                    f"--spatial_shards/--spatial_shards_w so input_height/"
+                    f"(8*shards) and input_width/(8*shards_w) are integers"
                 )
 
 

@@ -49,13 +49,32 @@ def maybe_init_distributed() -> bool:
     return False
 
 
-def create_mesh(num_devices: int = -1, model_axis: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D (data) or 2-D (data, model) mesh over the visible devices."""
+def create_mesh(
+    num_devices: int = -1,
+    model_axis: int = 1,
+    devices: Optional[Sequence] = None,
+    model_w_axis: int = 1,
+) -> Mesh:
+    """Mesh over the visible devices: (data[, model[, model_w]]).
+
+    ``model_axis`` shards image HEIGHT (``--spatial_shards``) and
+    ``model_w_axis`` image WIDTH (``--spatial_shards_w``); together they form
+    a 2-D spatial decomposition of one sample's activations (halo volume per
+    device shrinks vs a 1-D H split at the same total shard count).  The
+    3-axis mesh is only built when W-sharding is requested, so every
+    existing (data, model) call site and compiled program is unchanged.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices > 0:
         devs = devs[:num_devices]
     n = len(devs)
-    assert n % model_axis == 0, f"{n} devices not divisible by model axis {model_axis}"
+    sp = model_axis * model_w_axis
+    assert n % sp == 0, (
+        f"{n} devices not divisible by model axes {model_axis}x{model_w_axis}"
+    )
+    if model_w_axis > 1:
+        arr = np.asarray(devs).reshape(n // sp, model_axis, model_w_axis)
+        return Mesh(arr, ("data", "model", "model_w"))
     arr = np.asarray(devs).reshape(n // model_axis, model_axis)
     return Mesh(arr, ("data", "model"))
 
@@ -87,13 +106,17 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
-    """(B, H, ...) sharded batch-over-data AND height-over-model.
+    """(B, H[, W], ...) sharded batch-over-data, height-over-model, and —
+    when the mesh carries a ``model_w`` axis — width-over-model_w.
 
     Spatial partitioning (a new capability over the reference, whose only
-    axis is DP): GSPMD partitions the conv pyramid over the image height,
-    inserting the halo exchanges itself — full-resolution inference scales
-    past one chip's HBM without any manual communication code.
+    axis is DP): GSPMD partitions the conv pyramid over the image height
+    (and optionally width: 2-D decomposition), inserting the halo exchanges
+    itself — full-resolution inference scales past one chip's HBM without
+    any manual communication code.
     """
+    if "model_w" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "model", "model_w"))
     return NamedSharding(mesh, P("data", "model"))
 
 
@@ -106,9 +129,18 @@ def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
     address other hosts' devices and raise).  The ``model`` axis must be
     host-local (create_mesh lays axes out devices-major), so a host's slice
     spans the full image height.
+
+    Raw batches whose H (or W) does not divide the spatial axis — e.g. the
+    pre-augmentation NYU border crop is 427 px tall — fall back to
+    batch-only sharding for that array: the train step re-pins the
+    post-augmentation activations spatially via with_sharding_constraint,
+    so only the (small, uint8) input transfer is replicated across the
+    spatial group, never the conv pyramid.
     """
     spatial = spatial_sharding(mesh)
     data = batch_sharding(mesh)
+    n_h = mesh.shape.get("model", 1)
+    n_w = mesh.shape.get("model_w", 1)
 
     def put(v, sh):
         if jax.process_count() == 1:
@@ -117,7 +149,11 @@ def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
 
         return jax.make_array_from_process_local_data(sh, np.asarray(v))
 
-    return {
-        k: put(v, spatial if getattr(v, "ndim", 0) >= 3 else data)
-        for k, v in batch.items()
-    }
+    def pick(v):
+        if getattr(v, "ndim", 0) < 3:
+            return data
+        h_ok = v.shape[1] % n_h == 0
+        w_ok = n_w == 1 or (v.ndim >= 3 and v.shape[2] % n_w == 0)
+        return spatial if (h_ok and w_ok) else data
+
+    return {k: put(v, pick(v)) for k, v in batch.items()}

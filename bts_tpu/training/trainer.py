@@ -67,7 +67,8 @@ def make_train_step(
     scales with batch_size/accum (see ``grads_accumulated``).
 
     ``spatial=True`` (requires a mesh with a >1 ``model`` axis) additionally
-    shards image HEIGHT over the ``model`` axis for the forward/backward:
+    shards image HEIGHT over the ``model`` axis (and WIDTH over ``model_w``
+    when the mesh carries one — 2-D decomposition) for the forward/backward:
     GSPMD partitions every conv spatially with automatic halo exchange, so
     activations of one sample span several chips' HBM — resolutions beyond a
     single chip become trainable (new capability; the reference is DP-only,
@@ -202,13 +203,14 @@ def make_train_step(
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     if spatial_sh is not None:
-        # image/depth carry (B, H, ...) -> batch over data, H over model;
-        # focal is (B,) -> data only
-        batch_sh = {"image": spatial_sh, "depth": spatial_sh, "focal": data}
+        # the batch inherits whatever layout shard_batch_spatial committed
+        # (spatial when H/W divide the mesh axes, batch-only otherwise —
+        # e.g. NYU's odd 427-px pre-augment crop); the activations are
+        # re-pinned spatially inside loss_fn, which is what must span chips
         return jax.jit(
             train_step,
             donate_argnums=(0,),
-            in_shardings=(repl, batch_sh, repl),
+            in_shardings=(repl, None, repl),
             out_shardings=(repl, repl),
         )
     return jax.jit(

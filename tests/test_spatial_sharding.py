@@ -231,6 +231,146 @@ def test_spatial_eval_with_pallas_interpret():
         lpg_pallas._INTERPRET = old
 
 
+def test_spatial_2d_eval_matches_single():
+    """2-D spatial decomposition (--spatial_shards 2 --spatial_shards_w 2):
+    H over ``model`` AND W over ``model_w`` — GSPMD must halo-exchange along
+    both image axes and match the single-device forward."""
+    cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                 bts_size=64, compute_dtype="float32")
+    model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                     num_features=cfg.bts_size)
+    h, w = 64, 96
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), False)
+    params, stats = variables["params"], variables["batch_stats"]
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+
+    single = make_eval_step(model, cfg)
+    ref = np.asarray(single(params, stats, jnp.asarray(images)))
+
+    mesh = create_mesh(model_axis=2, model_w_axis=2)  # 2 data x 2 H x 2 W
+    assert mesh.shape == {"data": 2, "model": 2, "model_w": 2}
+    repl = replicated_sharding(mesh)
+    sharded_step = make_eval_step(model, cfg, mesh=mesh, spatial=True)
+    out = sharded_step(
+        jax.device_put(params, repl),
+        jax.device_put(stats, repl),
+        jax.device_put(jnp.asarray(images), spatial_sharding(mesh)),
+    )
+    assert out.sharding.spec == spatial_sharding(mesh).spec
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_2d_train_matches_single():
+    """The production fused train step under the 2-D (H x W) decomposition:
+    loss parity vs single device, plus tight frozen-BN grad parity (the
+    well-conditioned path — see test_spatial_train_matches_single)."""
+    from bts_tpu.ops.silog import default_mask, silog_loss
+    from bts_tpu.parallel.mesh import shard_batch_spatial
+    from bts_tpu.training.optimizer import make_optimizer
+    from bts_tpu.training.trainer import TrainState, make_train_step
+
+    cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                 bts_size=64, compute_dtype="float32",
+                 input_height=64, input_width=64, do_random_rotate=True,
+                 degree=2.5, batch_size=2,
+                 spatial_shards=2, spatial_shards_w=2)
+    model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                     num_features=cfg.bts_size)
+    h, w = 64, 96
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(0.5, 9.5, (2, h, w)).astype(np.float32),
+        "focal": np.full((2,), 518.8579, np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), True)
+    tx = make_optimizer(cfg, total_steps=10)
+    key = jax.random.PRNGKey(0)
+    mesh = create_mesh(model_axis=2, model_w_axis=2)
+
+    def fresh_state():
+        return TrainState.create(jax.tree.map(jnp.array, variables), tx)
+
+    single = make_train_step(model, tx, cfg)
+    st_ref, m_ref = single(fresh_state(),
+                           {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    sharded = make_train_step(model, tx, cfg, mesh=mesh, spatial=True)
+    st0 = jax.device_put(fresh_state(), replicated_sharding(mesh))
+    st_sp, m_sp = sharded(st0, shard_batch_spatial(batch, mesh), key)
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(st_sp.step) == 1
+    assert np.isfinite(float(m_sp["grad_norm"]))
+
+    # frozen-BN gradients, tight leaf-for-leaf parity
+    params, stats = variables["params"], variables["batch_stats"]
+    images = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(batch["depth"])
+
+    def loss_fn(p, imgs, dps):
+        *_, final = model.apply({"params": p, "batch_stats": stats}, imgs, False)
+        return silog_loss(final[..., 0], dps, default_mask(dps, cfg.dataset),
+                          cfg.variance_focus)
+
+    gfn = jax.value_and_grad(loss_fn)
+    l_ref, g_ref = jax.jit(gfn)(params, images, depths)
+    repl, sp = replicated_sharding(mesh), spatial_sharding(mesh)
+    g_sp_fn = jax.jit(gfn, in_shardings=(repl, sp, sp), out_shardings=(repl, repl))
+    l_sp, g_sp = g_sp_fn(jax.device_put(params, repl),
+                         jax.device_put(images, sp), jax.device_put(depths, sp))
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_pallas_lpg_2d_spatial_sharding():
+    """Pallas LPG sharded over BOTH plane-grid axes (h over model, w over
+    model_w): the Shardy rule's ``(w ew)`` factor is exercised, forward and
+    custom-VJP backward, against the jnp oracle (interpret mode)."""
+    from bts_tpu.ops import lpg_pallas
+    from bts_tpu.ops.lpg import lpg_reference
+
+    old = lpg_pallas._INTERPRET
+    lpg_pallas._INTERPRET = True
+    try:
+        mesh = create_mesh(model_axis=2, model_w_axis=2)  # 2 data x 2 H x 2 W
+        rng = np.random.default_rng(1)
+        b, h, w, k = 2, 8, 12, 8
+        plane = rng.normal(size=(b, h, w, 4)).astype(np.float32)
+        plane[..., 2] += 3.0  # denominators away from zero
+        g = rng.normal(size=(b, h * k, w * k)).astype(np.float32)
+
+        ref_out = lpg_reference(jnp.asarray(plane), k)
+        ref_grad = jax.grad(lambda p: (lpg_reference(p, k) * g).sum())(
+            jnp.asarray(plane)
+        )
+
+        sp_in = jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", "model", "model_w")
+        )
+        repl = replicated_sharding(mesh)
+        out_fn = jax.jit(
+            lambda p: lpg_pallas.lpg(p, k), in_shardings=sp_in, out_shardings=sp_in
+        )
+        p_sh = jax.device_put(jnp.asarray(plane), sp_in)
+        np.testing.assert_allclose(
+            np.asarray(out_fn(p_sh)), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+        )
+
+        grad_fn = jax.jit(
+            jax.grad(lambda p: (lpg_pallas.lpg(p, k) * g).sum()),
+            in_shardings=sp_in, out_shardings=repl,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grad_fn(p_sh)), np.asarray(ref_grad), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        lpg_pallas._INTERPRET = old
+
+
 def test_fused_upconv_spatial_gradients():
     """Regression: GSPMD mis-partitions the backward of an lhs-dilated conv
     under H-sharding (encoder grads were off by O(1) relative).  The fused
@@ -266,3 +406,49 @@ def test_fused_upconv_spatial_gradients():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_spatial_train_odd_raw_height():
+    """Regression: the raw pre-augmentation batch may not tile the spatial
+    mesh axes (NYU's border crop is 427 px tall — odd).  shard_batch_spatial
+    must fall back to batch-only sharding for such arrays and the train step
+    must still run (activations are re-pinned spatially inside the step),
+    matching the single-device loss."""
+    from bts_tpu.parallel.mesh import batch_sharding, shard_batch_spatial
+    from bts_tpu.training.optimizer import make_optimizer
+    from bts_tpu.training.trainer import TrainState, make_train_step
+
+    cfg = Config(dataset="nyu", encoder="mobilenetv2_bts", max_depth=10.0,
+                 bts_size=64, compute_dtype="float32",
+                 input_height=64, input_width=64, batch_size=2,
+                 spatial_shards=2, spatial_shards_w=2)
+    model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth,
+                     num_features=cfg.bts_size)
+    rng = np.random.default_rng(0)
+    h, w = 427, 565  # NYU border-crop geometry: h odd, w odd
+    batch = {
+        "image": rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(0.5, 9.5, (2, h, w)).astype(np.float32),
+        "focal": np.full((2,), 518.8579, np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), True)
+    tx = make_optimizer(cfg, total_steps=10)
+    key = jax.random.PRNGKey(0)
+
+    single = make_train_step(model, tx, cfg)
+    _, m_ref = single(
+        TrainState.create(jax.tree.map(jnp.array, variables), tx),
+        {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = create_mesh(model_axis=2, model_w_axis=2)
+    sharded_batch = shard_batch_spatial(batch, mesh)
+    # odd H/W cannot tile the (model, model_w) axes -> batch-only layout
+    assert sharded_batch["image"].sharding.spec == batch_sharding(mesh).spec
+    step = make_train_step(model, tx, cfg, mesh=mesh, spatial=True)
+    st0 = jax.device_put(
+        TrainState.create(jax.tree.map(jnp.array, variables), tx),
+        replicated_sharding(mesh))
+    st, m = step(st0, sharded_batch, key)
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(st.step) == 1
