@@ -108,7 +108,9 @@ jax.config.update("jax_compilation_cache_dir", REPO + "/.jax_cache")
 from bts_tpu.models import BtsModel
 from bts_tpu.data.augment import eval_preprocess
 model = BtsModel(encoder_name="densenet161_bts", max_depth=80.0, num_features=512, dtype=jnp.bfloat16)
-rng = np.random.default_rng(0); B=8
+# B=24: measured optimum of the b1..b32 sweep (scripts/exp_batch_sweep.py,
+# PERFORMANCE.md): 108 img/s at b8 -> 119.6 at b16 -> 123.7 at b24; b32 OOMs
+rng = np.random.default_rng(0); B=24
 x = jnp.asarray(rng.integers(0,255,(B,352,1216,3),dtype=np.uint8))
 v = jax.jit(lambda k, xx: model.init(k, xx, False))(jax.random.PRNGKey(0), jnp.zeros((1,96,192,3)))
 def fwd_stream(xx):
@@ -133,7 +135,7 @@ for e in events:
 assert cnt >= n, (cnt, n)
 ms = tot / 1e3 / cnt
 ips = B / ms * 1e3
-print(json.dumps({"config": 5, "metric": "densenet161_kitti_352x1216_b8_streaming_infer", "value": round(ips,3), "unit": "images/sec/chip", "device_ms_per_batch": round(ms,3)}))
+print(json.dumps({"config": 5, "metric": "densenet161_kitti_352x1216_b24_streaming_infer", "value": round(ips,3), "unit": "images/sec/chip", "device_ms_per_batch": round(ms,3)}))
 """,
 }
 
