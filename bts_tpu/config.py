@@ -86,6 +86,7 @@ class Config:
     compute_dtype: str = "bfloat16"  # forward/backward compute dtype
     use_pallas: str = "auto"  # auto | always | never
     fused_tail: str = "auto"  # auto | always | never; auto=OFF (kernel measured 4.3x slower than XLA tail, see PERFORMANCE.md); always = reproduction harness
+    upconv_bwd: str = "auto"  # auto | literal | dilated; UpConv gradient lowering — auto picks "dilated" (AD of the lhs-dilated conv, no full-res backward intermediate) unless spatially sharded, where only the literal custom_vjp partitions correctly (models/layers.py::_DilatedUpConv)
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     spatial_shards_w: int = 1  # additionally shard image WIDTH (model_w mesh axis); composes with spatial_shards into a 2-D spatial decomposition

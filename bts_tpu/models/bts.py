@@ -80,6 +80,11 @@ class BtsDecoder(nn.Module):
     # fused lhs-dilated upsample-conv (layers._DilatedUpConv); False keeps
     # the literal upsample->conv two-op form (equivalence tests / fallback)
     fused_upconv: bool = True
+    # UpConv gradient lowering: "literal" (GSPMD-proven, required under
+    # spatial sharding) | "dilated" (AD of the lhs-dilated conv — no
+    # full-res intermediate in the backward; unsharded/pure-DP only).
+    # See layers._DilatedUpConv.
+    upconv_bwd: str = "literal"
     # EXPERIMENTAL (perf measurement only, scripts/exp_lanepad.py): zero-pad
     # the 1-channel LPG guidance maps to this many lanes before each decoder
     # concat (targets the measured ~21% relayout-copy tax of the b1 forward).
@@ -115,7 +120,7 @@ class BtsDecoder(nn.Module):
                 return m
             return jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, self.lane_pad - 1)))
 
-        up = lambda f: UpConv(f, dtype=dt, fused=self.fused_upconv)
+        up = lambda f: UpConv(f, dtype=dt, fused=self.fused_upconv, bwd=self.upconv_bwd)
         dense_features = nn.relu(bottleneck)
         upconv5 = up(nf)(dense_features)  # H/16
         upconv5 = BatchNorm(dtype=dt)(upconv5, train)
@@ -260,6 +265,7 @@ class BtsModel(nn.Module):
     remat: bool = False  # rematerialize encoder blocks (large-batch training)
     remat_policy: str = "layer"  # layer | block | convs (DenseNet granularity)
     fused_upconv: bool = True  # see BtsDecoder.fused_upconv
+    upconv_bwd: str = "literal"  # see BtsDecoder.upconv_bwd
     lane_pad: int = 0  # EXPERIMENTAL — see BtsDecoder.lane_pad
     fused_tail: str = "auto"  # see BtsDecoder.fused_tail
 
@@ -277,6 +283,7 @@ class BtsModel(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             fused_upconv=self.fused_upconv,
+            upconv_bwd=self.upconv_bwd,
             lane_pad=self.lane_pad,
             fused_tail=self.fused_tail,
         )(feats, train, focal)
@@ -285,6 +292,12 @@ class BtsModel(nn.Module):
 def create_model(cfg) -> BtsModel:
     """Build a BtsModel from a Config (bts_tpu.config.Config)."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+    if cfg.upconv_bwd == "dilated" and (cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1):
+        raise ValueError(
+            "--upconv_bwd dilated is incompatible with --spatial_shards[_w]: GSPMD "
+            "mis-partitions the lhs-dilated conv backward under H/W sharding "
+            "(measured O(1) gradient error; models/layers.py::_up2x_conv)"
+        )
     return BtsModel(
         encoder_name=cfg.encoder,
         max_depth=cfg.max_depth,
@@ -293,6 +306,15 @@ def create_model(cfg) -> BtsModel:
         use_pallas=cfg.use_pallas,
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
+        # GSPMD mis-partitions the dilated-conv backward when H/W are
+        # sharded, so the AD-derived (materialization-free) backward is
+        # only safe without --spatial_shards[_w]; batch sharding never
+        # splits H/W (layers._DilatedUpConv).
+        upconv_bwd=(
+            ("literal" if (cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1) else "dilated")
+            if cfg.upconv_bwd == "auto"
+            else cfg.upconv_bwd
+        ),
         # the fused tail's row halos cannot cross spatial-shard boundaries;
         # force the literal (GSPMD-proven) path under --spatial_shards[_w]
         fused_tail="never"

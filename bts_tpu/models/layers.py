@@ -75,9 +75,8 @@ def _up2x_conv_literal(x, k):
     )
 
 
-@jax.custom_vjp
-def _up2x_conv(x, k):
-    """conv3x3_SAME(up2x(x), K) as ONE lhs-dilated conv (forward).
+def _up2x_conv_dilated(x, k):
+    """conv3x3_SAME(up2x(x), K) as ONE lhs-dilated conv.
 
     Identity: nearest-2x upsample == zero-dilation (lhs_dilation=2)
     convolved with ones(2,2), so by associativity
@@ -88,13 +87,11 @@ def _up2x_conv(x, k):
     with the 4x4 kernel K''[a,b] = sum_{u,v in {0,1}} K[a-u, b-v] (verified
     exact in f64 over all paddings; only ((2,2),(2,2)) aligns).
 
-    custom_vjp because GSPMD mis-partitions the BACKWARD of an lhs-dilated
-    conv under spatial (H) sharding: measured on the 8-device CPU mesh,
-    forward exact but encoder gradients off by O(1) relative while the
-    literal two-op composition stays at 4e-6.  The backward here therefore
-    differentiates the literal composition — mathematically the same
-    function, so the same gradient — whose partitioning is proven by
-    tests/test_spatial_sharding.py.
+    Plain (AD-differentiable) form: JAX's derived VJP stays in the dilated
+    domain — dx is a stride-2 conv of the cotangent, dK a conv of the
+    lhs-dilated input with the cotangent — so the full-resolution upsampled
+    tensor is never materialized in the backward either.  Only safe when
+    the program is NOT spatially sharded (see _up2x_conv below).
     """
     kp = jnp.zeros((4, 4) + k.shape[2:], jnp.float32)
     for u in (0, 1):
@@ -108,6 +105,23 @@ def _up2x_conv(x, k):
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+@jax.custom_vjp
+def _up2x_conv(x, k):
+    """_up2x_conv_dilated with a spatially-partitionable backward.
+
+    custom_vjp because GSPMD mis-partitions the BACKWARD of an lhs-dilated
+    conv under spatial (H) sharding: measured on the 8-device CPU mesh,
+    forward exact but encoder gradients off by O(1) relative while the
+    literal two-op composition stays at 4e-6.  The backward here therefore
+    differentiates the literal composition — mathematically the same
+    function, so the same gradient — whose partitioning is proven by
+    tests/test_spatial_sharding.py.  The cost is re-materializing the
+    full-res upsampled tensor in the backward; unsharded training uses the
+    plain _up2x_conv_dilated instead (UpConv(bwd="dilated")).
+    """
+    return _up2x_conv_dilated(x, k)
 
 
 def _up2x_conv_fwd(x, k):
@@ -131,10 +145,18 @@ class _DilatedUpConv(nn.Module):
     the b1 forward 12.71 -> 10.82 ms, PERFORMANCE.md round 3).  Param tree
     identical to the unfused path: this module is named ``Conv_0`` with the
     same (3,3,cin,cout) kernel and init.
+
+    ``bwd`` selects the gradient lowering: "literal" (default) is the
+    GSPMD-proven custom_vjp that re-runs the two-op composition in the
+    backward (required under spatial sharding); "dilated" lets AD
+    differentiate the lhs-dilated conv directly, so the full-res upsampled
+    intermediate is never materialized in the backward either (unsharded /
+    pure-DP training only — batch sharding never splits H/W).
     """
 
     features: int
     dtype: Dtype = jnp.float32
+    bwd: str = "literal"
 
     @nn.compact
     def __call__(self, x):
@@ -143,7 +165,8 @@ class _DilatedUpConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = _up2x_conv(x.astype(self.dtype), k)
+        fn = _up2x_conv_dilated if self.bwd == "dilated" else _up2x_conv
+        y = fn(x.astype(self.dtype), k)
         return y + b.astype(self.dtype)
 
 
@@ -153,10 +176,11 @@ class _FusedUpBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    bwd: str = "literal"
 
     @nn.compact
     def __call__(self, x):
-        y = _DilatedUpConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        y = _DilatedUpConv(self.features, dtype=self.dtype, bwd=self.bwd, name="Conv_0")(x)
         return nn.elu(y)
 
 
@@ -166,17 +190,21 @@ class UpConv(nn.Module):
     ``fused=True`` (default) computes the mathematically-identical
     lhs-dilated conv without materializing the upsampled tensor (see
     _DilatedUpConv); ``fused=False`` keeps the literal two-op form (used by
-    the equivalence test and as an escape hatch).
+    the equivalence test and as an escape hatch).  ``bwd`` see
+    _DilatedUpConv.
     """
 
     features: int
     dtype: Dtype = jnp.float32
     fused: bool = True
+    bwd: str = "literal"
 
     @nn.compact
     def __call__(self, x):
         if self.fused:
-            return _FusedUpBlock(self.features, dtype=self.dtype, name="ConvBlock_0")(x)
+            return _FusedUpBlock(
+                self.features, dtype=self.dtype, bwd=self.bwd, name="ConvBlock_0"
+            )(x)
         x = upsample_nearest_2x(x)
         return ConvBlock(self.features, dtype=self.dtype)(x)
 

@@ -92,3 +92,29 @@ def test_fused_upconv_matches_literal():
     of = np.asarray(fused.apply(vp, x))
     op = np.asarray(plain.apply(vp, x))
     np.testing.assert_allclose(of, op, rtol=2e-5, atol=2e-6)
+
+
+def test_upconv_dilated_bwd_grads_match_literal():
+    """The AD-derived backward of the lhs-dilated conv (bwd="dilated") must
+    produce the same gradients as the GSPMD-proven literal-composition
+    custom_vjp (bwd="literal") — same mathematical function, different
+    lowering (layers._DilatedUpConv)."""
+    import numpy as np
+
+    from bts_tpu.models.layers import UpConv
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 6)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(2, 20, 28, 8)).astype(np.float32))
+    lit = UpConv(8, bwd="literal")
+    dil = UpConv(8, bwd="dilated")
+    v = lit.init(jax.random.PRNGKey(2), x)
+
+    def loss(mod):
+        return lambda p, xx: jnp.vdot(mod.apply(p, xx), cot)
+
+    gl_p, gl_x = jax.grad(loss(lit), argnums=(0, 1))(v, x)
+    gd_p, gd_x = jax.grad(loss(dil), argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gd_x), np.asarray(gl_x), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gl_p), jax.tree.leaves(gd_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

@@ -28,9 +28,9 @@ def tiny_cfg(**kw):
     return Config(**base)
 
 
-def tiny_model(cfg):
+def tiny_model(cfg, **kw):
     return BtsModel(
-        encoder_name=cfg.encoder, max_depth=cfg.max_depth, num_features=cfg.bts_size
+        encoder_name=cfg.encoder, max_depth=cfg.max_depth, num_features=cfg.bts_size, **kw
     )
 
 
@@ -70,10 +70,17 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
-def test_train_step_data_parallel_mesh_matches_single(rng):
-    """DP over the 8-device CPU mesh must match single-device numerics."""
+@pytest.mark.parametrize("upconv_bwd", ["literal", "dilated"])
+def test_train_step_data_parallel_mesh_matches_single(rng, upconv_bwd):
+    """DP over the 8-device CPU mesh must match single-device numerics.
+
+    Parametrized over both UpConv gradient lowerings: "dilated" (the
+    AD-derived backward create_model selects for unsharded/pure-DP
+    training) must partition correctly under batch sharding — the GSPMD
+    mis-partitioning only bites when H/W are sharded
+    (layers._DilatedUpConv)."""
     cfg = tiny_cfg()
-    model = tiny_model(cfg)
+    model = tiny_model(cfg, upconv_bwd=upconv_bwd)
     tx = make_optimizer(cfg, total_steps=50)
     batch = make_batch(rng, 8, 40, 72)
     init_img = jnp.zeros((8, cfg.input_height, cfg.input_width, 3))
@@ -140,6 +147,39 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     # --retrain: weights restored, step reset
     rt = restore_for_retrain(mgr, template)
     assert int(rt.step) == 0
+    mgr.close()
+
+
+def test_checkpoint_restore_preserves_mesh_sharding(tmp_path, rng):
+    """Restoring through a mesh-sharded template must hand back arrays with
+    the template's shardings (orbax StandardRestore respects the template) —
+    the multi-host resume path in bts_main restores AFTER the state is
+    placed on the mesh, so a silent reshard-to-host here would break pod
+    resume."""
+    from bts_tpu.parallel.mesh import create_mesh, replicated_sharding
+    from bts_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), True)
+    mesh = create_mesh()
+    sh = replicated_sharding(mesh)
+    state = jax.device_put(TrainState.create(variables, tx), sh)
+    state = state.replace(step=jnp.asarray(3, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(3, state)
+    mgr.wait()
+
+    template = jax.device_put(TrainState.create(variables, tx), sh)
+    restored = mgr.restore(template)
+    assert int(restored.step) == 3
+    leaf = jax.tree.leaves(restored.params)[0]
+    assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+    np.testing.assert_allclose(
+        np.asarray(leaf), np.asarray(jax.tree.leaves(state.params)[0])
+    )
     mgr.close()
 
 
