@@ -46,13 +46,13 @@ print(json.dumps({"config": 1, "metric": "mobilenetv2_nyu_480x640_cpu_infer", "v
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", REPO + "/.jax_cache")
 from bts_tpu.config import Config
-from bts_tpu.models import BtsModel
+from bts_tpu.models import create_model
 from bts_tpu.training.optimizer import make_optimizer
 from bts_tpu.training.trainer import TrainState, make_train_step
 cfg = Config(dataset="nyu", encoder="resnext101_bts", max_depth=10.0, bts_size=512,
              input_height=416, input_width=544, batch_size=4, compute_dtype="bfloat16",
              do_random_rotate=True, degree=2.5)
-model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth, num_features=cfg.bts_size, dtype=jnp.bfloat16)
+model = create_model(cfg)  # the real CLI model (picks up the dilated UpConv bwd)
 rng = np.random.default_rng(0); B=4
 v = jax.jit(lambda k, x: model.init(k, x, True))(jax.random.PRNGKey(0), jnp.zeros((B,96,192,3)))
 tx = make_optimizer(cfg, 1000)
@@ -72,15 +72,14 @@ print(json.dumps({"config": 3, "metric": "resnext101_nyu_416x544_b4_bf16_train",
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", REPO + "/.jax_cache")
 from bts_tpu.config import Config
-from bts_tpu.models import BtsModel
+from bts_tpu.models import create_model
 from bts_tpu.parallel.mesh import create_mesh, replicated_sharding, shard_batch
 from bts_tpu.training.optimizer import make_optimizer
 from bts_tpu.training.trainer import TrainState, make_train_step
 cfg = Config(dataset="kitti", encoder="densenet161_bts", max_depth=80.0, bts_size=512,
              input_height=352, input_width=704, batch_size=16, compute_dtype="bfloat16",
              do_random_rotate=True, degree=1.0, remat=True)
-model = BtsModel(encoder_name=cfg.encoder, max_depth=cfg.max_depth, num_features=cfg.bts_size,
-                 dtype=jnp.bfloat16, remat=True)
+model = create_model(cfg)  # the real CLI model (picks up the dilated UpConv bwd)
 rng = np.random.default_rng(0); B=16
 mesh = create_mesh()  # all visible chips on the data axis (1 here)
 v = jax.jit(lambda k, x: model.init(k, x, True))(jax.random.PRNGKey(0), jnp.zeros((B,96,192,3)))

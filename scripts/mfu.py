@@ -127,6 +127,20 @@ def main():
             out = f(x)
         out.block_until_ready()
         dt = time.perf_counter() - t0
+    # compiled-program memory footprint (PJRT memory_analysis): what HBM the
+    # executable actually reserves — documents why b32 inference fails to
+    # compile and what --remat buys (temp = live activations/workspace)
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        for field in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(ma, field, None)
+            if v is not None:
+                mem[field.replace("_size_in_bytes", "_gb")] = round(float(v) / 1e9, 3)
+    except Exception:
+        pass
+
     ips = args.batch * args.iters / dt
     step_s = dt / args.iters
     tflops = flops / step_s / 1e12
@@ -147,6 +161,7 @@ def main():
         "peak_bf16_tflops": peak,
         "mfu_pct": round(100 * tflops / peak, 2),
         "implied_hbm_gbs": round(hbm_gbs, 1),
+        **({"memory": mem} if mem else {}),
     }
     print(json.dumps(result, indent=1))
     # persist for the judge/README next to the other measurement artifacts;
