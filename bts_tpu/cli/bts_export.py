@@ -76,6 +76,9 @@ def export_serving_fn(cfg, state, platforms=None) -> bytes:
 
 def main(argv=None):
     cfg = parse_args(argv, mode="test")
+    from bts_tpu.config import adopt_sidecar_geometry
+
+    cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
     if not cfg.export_path:
         print("[bts_tpu] --export_path is required", file=sys.stderr)
         return 2

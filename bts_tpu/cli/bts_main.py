@@ -185,6 +185,12 @@ def main(argv=None):
     total_steps = steps_per_epoch * cfg.num_epochs
     print(f"[bts_tpu] {len(loader)} samples, {steps_per_epoch} steps/epoch, {total_steps} total")
 
+    # resuming/fine-tuning: adopt the original run's stride-2 geometry from
+    # its config sidecar (weights trained torch-aligned must stay so)
+    logdir = os.path.join(cfg.log_directory or "runs", cfg.model_name)
+    from bts_tpu.config import adopt_sidecar_geometry, write_config_sidecar
+
+    cfg = adopt_sidecar_geometry(cfg, extra_dirs=(logdir,))
     model = create_model(cfg)
     trainer = Trainer(
         model, cfg, total_steps, mesh=mesh, augment=True, spatial=spatial_on
@@ -194,7 +200,9 @@ def main(argv=None):
     first = next(iter(loader.batches(num_epochs=1)))
     state = trainer.init_state(first)
 
-    logdir = os.path.join(cfg.log_directory or "runs", cfg.model_name)
+    # snapshot the full (resolved) flag surface next to the checkpoints —
+    # the reference's train driver does the same with its arguments file
+    write_config_sidecar(cfg, logdir)
     # --retrain restores FROM checkpoint_path but saves into a fresh dir:
     # orbax's should_save() refuses steps <= the dir's latest, so saving the
     # reset-to-0 run back into the source dir would silently write nothing.

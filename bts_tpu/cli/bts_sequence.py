@@ -48,6 +48,9 @@ def frame_batches(files, batch: int, do_kb_crop: bool, q: "queue.Queue"):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="sequence")
+    from bts_tpu.config import adopt_sidecar_geometry
+
+    cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
     files = sorted(
         sum((glob.glob(os.path.join(cfg.image_path, p)) for p in ("*.png", "*.jpg", "*.jpeg")), [])
     )

@@ -157,6 +157,9 @@ def make_server(cfg) -> ThreadingHTTPServer:
 
 def main(argv=None):
     cfg = parse_args(argv, mode="test")
+    from bts_tpu.config import adopt_sidecar_geometry
+
+    cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
     server = make_server(cfg)
     host, port = server.server_address[:2]
     print(f"[bts_tpu] serving depth on http://{host}:{port} "

@@ -68,6 +68,9 @@ def restore_state(cfg, model, sample_image):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="test")
+    from bts_tpu.config import adopt_sidecar_geometry
+
+    cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
     model = create_model(cfg)
     loader = BtsDataLoader(cfg, "test")
     out_dir = cfg.out_path or f"result_{cfg.model_name}"

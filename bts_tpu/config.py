@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -87,6 +88,7 @@ class Config:
     use_pallas: str = "auto"  # auto | always | never
     fused_tail: str = "auto"  # auto | always | never; auto=OFF (kernel measured 4.3x slower than XLA tail, see PERFORMANCE.md); always = reproduction harness
     upconv_bwd: str = "auto"  # auto | literal | dilated; UpConv gradient lowering — auto picks "dilated" (AD of the lhs-dilated conv, no full-res backward intermediate) unless spatially sharded, where only the literal custom_vjp partitions correctly (models/layers.py::_DilatedUpConv)
+    encoder_pad: str = "auto"  # auto | same | torch; stride-2 window alignment in the encoder — torchvision weights (--pretrained_model) need "torch" or they land one pixel off at every downsampling stage; "auto" = torch when --pretrained_model is set (recorded in the run's config sidecar so test/eval restore matches), else TF-SAME
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     spatial_shards_w: int = 1  # additionally shard image WIDTH (model_w mesh axis); composes with spatial_shards into a 2-D spatial decomposition
@@ -106,6 +108,62 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+def resolved_encoder_pad(cfg: Config) -> str:
+    """Resolve ``encoder_pad='auto'``: torchvision --pretrained_model weights
+    need torch stride-2 window alignment (see models/layers.py::pad2);
+    scratch training keeps the TF-SAME geometry the parity tests pin."""
+    if cfg.encoder_pad != "auto":
+        return cfg.encoder_pad
+    return "torch" if cfg.pretrained_model else "same"
+
+
+def write_config_sidecar(cfg: Config, logdir: str) -> str:
+    """Record the run's full flag surface (reference behavior: the train
+    driver snapshots its arguments next to the checkpoints) plus the RESOLVED
+    geometry choices, so restore-side drivers reproduce them without the
+    train-only flags (--pretrained_model is typically absent from test
+    arg-files, but the trained weights are torch-aligned forever)."""
+    import json
+
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, "config.json")
+    rec = dataclasses.asdict(cfg)
+    rec["encoder_pad_resolved"] = resolved_encoder_pad(cfg)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    return path
+
+
+def adopt_sidecar_geometry(cfg: Config, extra_dirs: tuple = ()) -> Config:
+    """For drivers restoring a checkpoint: if ``encoder_pad`` is 'auto' and a
+    training-run config sidecar is found next to the checkpoint, adopt its
+    resolved stride-2 geometry — a checkpoint fine-tuned from torch weights
+    must be evaluated with torch window alignment (same param tree, silently
+    shifted activations otherwise)."""
+    import json
+
+    if cfg.encoder_pad != "auto" or cfg.pretrained_model:
+        return cfg
+    dirs = list(extra_dirs)
+    if cfg.checkpoint_path:
+        ab = os.path.abspath(cfg.checkpoint_path)
+        dirs += [ab, os.path.dirname(ab)]
+    for d in dirs:
+        path = os.path.join(d, "config.json")
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except Exception:
+                continue
+            pad = rec.get("encoder_pad_resolved") or rec.get("encoder_pad")
+            if pad in ("same", "torch"):
+                if pad != "same":
+                    print(f"[bts_tpu] encoder_pad={pad} (from {path})")
+                return cfg.replace(encoder_pad=pad)
+    return cfg
 
 
 def _convert_arg_line_to_args(arg_line: str):

@@ -42,6 +42,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from bts_tpu.config import resolved_encoder_pad as _resolved_encoder_pad
 from bts_tpu.models.encoders import build_encoder, encoder_channels
 from bts_tpu.models.layers import AtrousConv, BatchNorm, ConvBlock, Reduction1x1, UpConv
 from bts_tpu.ops.lpg import lpg_scaled_from_raw, lpg_strided, plane_from_spherical
@@ -268,6 +269,10 @@ class BtsModel(nn.Module):
     upconv_bwd: str = "literal"  # see BtsDecoder.upconv_bwd
     lane_pad: int = 0  # EXPERIMENTAL — see BtsDecoder.lane_pad
     fused_tail: str = "auto"  # see BtsDecoder.fused_tail
+    # stride-2 window alignment in the encoder: "same" (TF geometry, the
+    # default) | "torch" (torchvision geometry — REQUIRED for torch
+    # --pretrained_model weights to be spatially aligned; layers.pad2)
+    encoder_pad: str = "same"
 
     @nn.compact
     def __call__(self, image, train: bool = False, focal: Optional[jnp.ndarray] = None):
@@ -276,6 +281,7 @@ class BtsModel(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            pad_style=self.encoder_pad,
         )(image.astype(self.dtype), train)
         return BtsDecoder(
             max_depth=self.max_depth,
@@ -320,6 +326,13 @@ def create_model(cfg) -> BtsModel:
         fused_tail="never"
         if (cfg.spatial_shards > 1 or cfg.spatial_shards_w > 1)
         else cfg.fused_tail,
+        # "auto": torch-pretrained encoders need torchvision's stride-2
+        # window alignment (a TF-SAME encoder applies those weights one
+        # input pixel off at every downsampling stage — test_torch_oracle);
+        # scratch training keeps the TF geometry the parity tests pin.
+        # Restore-side drivers adopt a trained run's geometry from its
+        # config sidecar first (config.adopt_sidecar_geometry).
+        encoder_pad=_resolved_encoder_pad(cfg),
     )
 
 

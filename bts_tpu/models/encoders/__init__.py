@@ -88,7 +88,13 @@ def freeze_prefixes(name: str, num_blocks: int) -> Tuple[str, ...]:
     return tuple(names)
 
 
-def build_encoder(name: str, dtype=jnp.float32, remat: bool = False, remat_policy: str = "layer"):
+def build_encoder(
+    name: str,
+    dtype=jnp.float32,
+    remat: bool = False,
+    remat_policy: str = "layer",
+    pad_style: str = "same",
+):
     if name not in ENCODERS:
         raise ValueError(f"unknown encoder {name!r}; choose from {sorted(ENCODERS)}")
     spec = ENCODERS[name]
@@ -97,7 +103,7 @@ def build_encoder(name: str, dtype=jnp.float32, remat: bool = False, remat_polic
         # remat granularity is a DenseNet knob (measured sweep,
         # PERFORMANCE.md); other encoders checkpoint per stage block
         kwargs["remat_policy"] = remat_policy
-    return spec["cls"](dtype=dtype, remat=remat, **kwargs)
+    return spec["cls"](dtype=dtype, remat=remat, pad_style=pad_style, **kwargs)
 
 
 def encoder_channels(name: str) -> Tuple[int, ...]:

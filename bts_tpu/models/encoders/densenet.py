@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from bts_tpu.models.layers import BatchNorm
+from bts_tpu.models.layers import BatchNorm, pad2
 
 
 class DenseLayer(nn.Module):
@@ -98,18 +98,22 @@ class DenseNet(nn.Module):
     #   'convs' - per-layer boundary, but keep the two conv outputs
     #             (rematerializes only BN/ReLU elementwise work)
     remat_policy: str = "layer"
+    # stride-2 window alignment: "same" (TF) | "torch" (torchvision geometry,
+    # required for --pretrained_model state_dicts) — see layers.pad2
+    pad_style: str = "same"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
         x = nn.Conv(
-            self.num_init_features, (7, 7), strides=(2, 2), padding="SAME",
+            self.num_init_features, (7, 7), strides=(2, 2),
+            padding=pad2(7, self.pad_style),
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         feats.append(x)  # relu0: H/2
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pad2(3, self.pad_style))
         feats.append(x)  # pool0: H/4
 
         if self.remat and self.remat_policy == "block":

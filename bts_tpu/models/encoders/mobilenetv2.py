@@ -25,7 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bts_tpu.models.layers import BatchNorm
+from bts_tpu.models.layers import BatchNorm, pad2
 
 
 def relu6(x):
@@ -37,6 +37,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand: int = 6
     dtype: Any = jnp.float32
+    pad_style: str = "same"  # stride-2 window alignment, see layers.pad2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,9 +50,10 @@ class InvertedResidual(nn.Module):
             )(y)
             y = BatchNorm(dtype=self.dtype)(y, train)
             y = relu6(y)
-        # depthwise 3x3
+        # depthwise 3x3 (stride-1 SAME is symmetric pad-1 == torch)
         y = nn.Conv(
-            y.shape[-1], (3, 3), strides=(self.stride, self.stride), padding="SAME",
+            y.shape[-1], (3, 3), strides=(self.stride, self.stride),
+            padding="SAME" if self.stride == 1 else pad2(3, self.pad_style),
             feature_group_count=y.shape[-1], use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
         )(y)
@@ -79,6 +81,7 @@ _MBV2_CONFIG = (
 class MobileNetV2(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False  # checkpoint each inverted residual
+    pad_style: str = "same"  # stride-2 window alignment, see layers.pad2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,8 +89,8 @@ class MobileNetV2(nn.Module):
             nn.remat(InvertedResidual, static_argnums=(2,)) if self.remat else InvertedResidual
         )
         x = nn.Conv(
-            32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
+            32, (3, 3), strides=(2, 2), padding=pad2(3, self.pad_style),
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         x = relu6(x)
@@ -97,7 +100,9 @@ class MobileNetV2(nn.Module):
         for t, c, n, s in _MBV2_CONFIG:
             for i in range(n):
                 stride = s if i == 0 else 1
-                x = block_cls(c, stride=stride, expand=t, dtype=self.dtype)(x, train)
+                x = block_cls(
+                    c, stride=stride, expand=t, dtype=self.dtype, pad_style=self.pad_style
+                )(x, train)
             if c in tap_channels:
                 feats.append(x)  # H/2 (16), H/4 (24), H/8 (32), H/16 (96)
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)

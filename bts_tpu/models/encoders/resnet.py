@@ -17,7 +17,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bts_tpu.models.layers import BatchNorm
+from bts_tpu.models.layers import BatchNorm, pad2
 
 
 class Bottleneck(nn.Module):
@@ -26,6 +26,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.float32
+    pad_style: str = "same"  # stride-2 window alignment, see layers.pad2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -37,7 +38,9 @@ class Bottleneck(nn.Module):
             self.inner,
             (3, 3),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            # stride-1 SAME is symmetric pad-1 (== torch); only stride-2
+            # windows differ between the conventions
+            padding="SAME" if self.stride == 1 else pad2(3, self.pad_style),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -66,19 +69,20 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     dtype: Any = jnp.float32
     remat: bool = False  # checkpoint each bottleneck (memory for compute)
+    pad_style: str = "same"  # stride-2 window alignment, see layers.pad2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
         feats = []
         x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
+            64, (7, 7), strides=(2, 2), padding=pad2(7, self.pad_style),
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         feats.append(x)  # stride 2, 64ch
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pad2(3, self.pad_style))
         for i, num_blocks in enumerate(self.stage_sizes):
             out_ch = 256 * (2**i)
             if self.groups == 1:
@@ -88,7 +92,8 @@ class ResNet(nn.Module):
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
                 x = block_cls(
-                    out_ch, inner, stride=stride, groups=self.groups, dtype=self.dtype
+                    out_ch, inner, stride=stride, groups=self.groups,
+                    dtype=self.dtype, pad_style=self.pad_style,
                 )(x, train)
             feats.append(x)  # strides 4, 8, 16, 32
         return feats

@@ -25,6 +25,26 @@ from bts_tpu.ops.resize import upsample_nearest_2x
 Dtype = Any
 
 
+def pad2(kernel: int, style: str):
+    """Padding for a stride-2 conv/pool under the given geometry convention.
+
+    ``"same"`` — TF SAME (the TF-reference convention): for even inputs a
+    k×k/2 window pads ``(k//2 - 1, k//2)`` per axis.  ``"torch"`` — the
+    torchvision convention: symmetric explicit ``k//2`` both sides.  The two
+    produce equal output SIZES but windows shifted by one input pixel, so
+    torch-pretrained weights are only geometrically aligned under "torch"
+    (verified against torch.nn.functional.conv2d: SAME differs O(1), explicit
+    symmetric matches exactly — tests/test_torch_oracle.py).  Stride-1 SAME
+    is symmetric already, so only stride-2 sites take this knob.
+    """
+    if style == "same":
+        return "SAME"
+    if style != "torch":
+        raise ValueError(f"pad_style must be 'same' or 'torch', got {style!r}")
+    p = kernel // 2
+    return ((p, p), (p, p))
+
+
 class ConvBlock(nn.Module):
     """3x3 (or kxk) SAME conv + ELU, the decoder's basic fusion block."""
 

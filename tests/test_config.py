@@ -35,3 +35,37 @@ def test_argfile_both_syntaxes(tmp_path):
         assert (cfg.input_height, cfg.input_width) == (416, 544)
         assert cfg.batch_size == 16
         assert cfg.encoder == "densenet161_bts"
+
+
+def test_encoder_pad_resolution_and_sidecar(tmp_path):
+    """encoder_pad='auto' resolves to torch geometry only for torch
+    --pretrained_model runs; the train sidecar records the resolution and
+    restore-side drivers adopt it (a checkpoint fine-tuned from torch
+    weights must be evaluated torch-aligned — tests/test_torch_oracle.py
+    shows SAME applies them one pixel off)."""
+    import json
+    import os
+
+    from bts_tpu.config import (
+        Config,
+        adopt_sidecar_geometry,
+        resolved_encoder_pad,
+        write_config_sidecar,
+    )
+
+    assert resolved_encoder_pad(Config()) == "same"
+    assert resolved_encoder_pad(Config(pretrained_model="enc.pth")) == "torch"
+    assert resolved_encoder_pad(Config(encoder_pad="same", pretrained_model="enc.pth")) == "same"
+
+    # train writes the sidecar next to the ckpt dir; test adopts it
+    logdir = os.path.join(tmp_path, "runs", "m1")
+    path = write_config_sidecar(Config(pretrained_model="enc.pth"), logdir)
+    assert json.load(open(path))["encoder_pad_resolved"] == "torch"
+    restored = adopt_sidecar_geometry(
+        Config(mode="test", checkpoint_path=os.path.join(logdir, "ckpt"))
+    )
+    assert restored.encoder_pad == "torch"
+    # explicit flag wins; absent sidecar leaves 'auto' untouched
+    explicit = Config(mode="test", encoder_pad="same", checkpoint_path=os.path.join(logdir, "ckpt"))
+    assert adopt_sidecar_geometry(explicit).encoder_pad == "same"
+    assert adopt_sidecar_geometry(Config(mode="test")).encoder_pad == "auto"
