@@ -90,6 +90,7 @@ class Config:
     upconv_bwd: str = "auto"  # auto | literal | dilated; UpConv gradient lowering — auto picks "dilated" (AD of the lhs-dilated conv, no full-res backward intermediate) unless spatially sharded, where only the literal custom_vjp partitions correctly (models/layers.py::_DilatedUpConv)
     encoder_pad: str = "auto"  # auto | same | torch; stride-2 window alignment in the encoder — torchvision weights (--pretrained_model) need "torch" or they land one pixel off at every downsampling stage; "auto" = torch when --pretrained_model is set (recorded in the run's config sidecar so test/eval restore matches), else TF-SAME
     use_native_loader: str = "auto"  # auto | always | never (C++ decode path)
+    shard_opt_state: bool = False  # ZeRO-1: shard the AdamW m/v over the data mesh axis (sharding annotations only — XLA reduce-scatters grads into the update and all-gathers applied params); frees ~2*params*4B*(N-1)/N of replicated HBM per chip at N data shards; composes with --spatial_shards and --grad_accum_steps
     spatial_shards: int = 1  # shard image height over this many devices (model mesh axis)
     spatial_shards_w: int = 1  # additionally shard image WIDTH (model_w mesh axis); composes with spatial_shards into a 2-D spatial decomposition
     grad_accum_steps: int = 1  # microbatches per optimizer step (batch_size must divide; peak activation memory scales with batch_size/grad_accum_steps)

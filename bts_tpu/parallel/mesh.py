@@ -88,6 +88,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero1_sharding(mesh: Mesh, tree):
+    """ZeRO-1 layout for the optimizer state (``--shard_opt_state``).
+
+    Each array leaf is sharded over the ``data`` axis on its largest
+    divisible dimension; scalars and undividable leaves stay replicated.
+    Params remain replicated f32 masters — annotating only the AdamW m/v
+    this way makes XLA materialize each chip's 1/N slice of the optimizer
+    state, reduce-scatter the gradients into the (sharded) update, and
+    all-gather the applied params: ZeRO-1 from sharding annotations alone,
+    no hand-written collective (SURVEY.md §2.11 redesign; the reference's
+    MirroredStrategy replicates optimizer slots on every replica).
+    """
+    n = mesh.shape["data"]
+
+    def pick(leaf):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if n > 1:
+            divisible = [i for i, s in enumerate(shape) if s % n == 0 and s >= n]
+            if divisible:
+                ax = max(divisible, key=lambda i: shape[i])
+                spec = [None] * len(shape)
+                spec[ax] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(pick, tree)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with its leading axis sharded over ``data``.
 

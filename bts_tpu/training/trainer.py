@@ -46,6 +46,22 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
+def zero1_state_shardings(mesh, state: TrainState) -> TrainState:
+    """Sharding pytree for ``--shard_opt_state`` (ZeRO-1): params/BN stats
+    replicated masters, optimizer state sharded over the ``data`` axis
+    (parallel.mesh.zero1_sharding). Returned as a TrainState of
+    NamedShardings so it slots into device_put and jit in/out_shardings."""
+    from bts_tpu.parallel.mesh import zero1_sharding
+
+    repl = replicated_sharding(mesh)
+    return TrainState(
+        step=repl,
+        params=jax.tree.map(lambda _: repl, state.params),
+        batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+        opt_state=zero1_sharding(mesh, state.opt_state),
+    )
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -54,6 +70,7 @@ def make_train_step(
     augment: bool = True,
     spatial: bool = False,
     lr_schedule: Optional[Callable] = None,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
@@ -202,6 +219,10 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    # --shard_opt_state: the state carries ZeRO-1 shardings (opt state split
+    # over the data axis) instead of being fully replicated; in == out so
+    # donation stays exact
+    st_sh = state_shardings if state_shardings is not None else repl
     if spatial_sh is not None:
         # the batch inherits whatever layout shard_batch_spatial committed
         # (spatial when H/W divide the mesh axes, batch-only otherwise —
@@ -210,14 +231,14 @@ def make_train_step(
         return jax.jit(
             train_step,
             donate_argnums=(0,),
-            in_shardings=(repl, None, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st_sh, None, repl),
+            out_shardings=(st_sh, repl),
         )
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, data, repl),
+        out_shardings=(st_sh, repl),
     )
 
 
@@ -308,6 +329,7 @@ class Trainer:
 
         self.tx = make_optimizer(cfg, total_steps)
         sched = polynomial_schedule(cfg.learning_rate, cfg.end_lr, total_steps)
+        self._step_args = (model, self.tx, cfg, mesh, augment, spatial, sched)
         self.train_step = make_train_step(
             model, self.tx, cfg, mesh, augment, spatial, lr_schedule=sched
         )
@@ -337,6 +359,22 @@ class Trainer:
             print(f"[bts_tpu] encoder initialized from {self.cfg.pretrained_model}")
         state = TrainState.create(variables, self.tx)
         if self.mesh is not None:
+            if (
+                getattr(self.cfg, "shard_opt_state", False)
+                and self.mesh.shape["data"] > 1
+            ):
+                # ZeRO-1: the AdamW m/v live sharded over the data axis from
+                # the very first device_put; the train step is re-jitted with
+                # the same sharding pytree so in == out and donation holds
+                sh = zero1_state_shardings(self.mesh, state)
+                m, tx, cfg, mesh, augment, spatial, sched = self._step_args
+                self.train_step = make_train_step(
+                    m, tx, cfg, mesh, augment, spatial,
+                    lr_schedule=sched, state_shardings=sh,
+                )
+                print("[bts_tpu] optimizer state sharded over "
+                      f"{self.mesh.shape['data']} data shards (ZeRO-1)")
+                return jax.device_put(state, sh)
             state = jax.device_put(state, replicated_sharding(self.mesh))
         return state
 
