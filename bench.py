@@ -7,10 +7,21 @@ exists in this lineage) and stored in BASELINE_MEASURED.json; vs_baseline
 here is ours / tf_cpu.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement: walltime over 100 iters, cross-checked against the device
+spans of a jax.profiler trace.  Tunnel walltime is untrustworthy in BOTH
+directions (PERFORMANCE.md gotchas: first-executable reads 8-12x slow,
+and block_until_ready can return before the device finishes — one run
+read 15x FAST), so when the trace parses, the device-span rate is
+reported as `value` and the walltime kept alongside; if tracing or
+parsing fails (e.g. no device pids on a CPU run), walltime is the
+fallback so the driver contract never breaks.
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
 import json
 import os
 import time
@@ -18,6 +29,36 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _device_span_ms(tracedir: str, span_prefix: str, n_expected: int):
+    """Mean device-span ms/iter for jit spans named ``span_prefix`` in the
+    newest trace under ``tracedir``; None when absent/unparseable (same
+    parsing as scripts/bench_suite.py config 5)."""
+    try:
+        paths = glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True)
+        if not paths:
+            return None
+        with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+            events = json.load(f).get("traceEvents", [])
+        pid_names = {
+            e.get("pid"): e.get("args", {}).get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        dev_pids = {p for p, nm in pid_names.items() if "TPU" in nm or "/device" in nm.lower()}
+        durs = [
+            float(e.get("dur", 0.0))
+            for e in events
+            if e.get("ph") == "X"
+            and e.get("pid") in dev_pids
+            and e.get("name", "").startswith(span_prefix)
+        ]
+        if len(durs) < n_expected:
+            return None
+        return sum(durs) / len(durs) / 1e3
+    except Exception:
+        return None
 
 
 def measure(batch_size: int = 1, height: int = 352, width: int = 1216, iters: int = 100):
@@ -65,11 +106,29 @@ def measure(batch_size: int = 1, height: int = 352, width: int = 1216, iters: in
         out = forward(images_u8)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    walltime_ips = batch_size * iters / dt
+
+    # device-span cross-check: a short traced run of the SAME executable
+    tracedir = "/tmp/bts_bench_trace"
+    span_ips = None
+    try:
+        n = 30
+        os.makedirs(tracedir, exist_ok=True)
+        with jax.profiler.trace(tracedir):
+            for _ in range(n):
+                out = forward(images_u8)
+            out.block_until_ready()
+        ms = _device_span_ms(tracedir, "jit_forward", n)
+        if ms:
+            span_ips = batch_size / ms * 1e3
+    except Exception:
+        span_ips = None
+    return walltime_ips, span_ips
 
 
 def main():
-    ips = measure()
+    walltime_ips, span_ips = measure()
+    ips = span_ips if span_ips is not None else walltime_ips
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(baseline_path):
@@ -84,6 +143,8 @@ def main():
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "method": "device_span" if span_ips is not None else "walltime",
+                "walltime_value": round(walltime_ips, 3),
             }
         )
     )

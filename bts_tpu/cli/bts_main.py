@@ -263,6 +263,15 @@ def main(argv=None):
     def on_save(step, st):
         mgr.save(step, st)
 
+    # reference parity: the train driver tracks the best value of each of the
+    # 9 eval metrics across online evals and keeps a per-metric "best"
+    # checkpoint, replacing the previous one (evaluation/best.py). The JSON
+    # sidecar makes the bar resume-safe.
+    from bts_tpu.evaluation.best import BestCheckpoints, BestTracker
+
+    best_tracker = BestTracker(logdir)
+    best_ckpts = BestCheckpoints(os.path.join(logdir, "ckpt_best"))
+
     def on_eval(step, st):
         if not cfg.do_online_eval:
             return
@@ -270,6 +279,17 @@ def main(argv=None):
         if results is not None:
             eval_writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
             print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
+            improved = best_tracker.update(step, results)
+            if improved:
+                best_ckpts.save(improved, step, st)
+                eval_writer.scalars(
+                    step,
+                    {
+                        f"eval/best_{n}": best_tracker.best[n]["value"]
+                        for n in improved
+                    },
+                )
+                print(f"[bts_tpu] new best @ step {step}: {', '.join(improved)}")
 
     remaining = total_steps - int(state.step)
     state = trainer.run(
@@ -286,6 +306,7 @@ def main(argv=None):
     )
     mgr.save(int(state.step), state)
     mgr.wait()
+    best_ckpts.close()
     if eval_writer is not writer:
         eval_writer.close()
     writer.close()

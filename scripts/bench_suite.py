@@ -20,6 +20,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -172,10 +173,17 @@ def main():
                     merged[int(r["config"])] = r
         except (json.JSONDecodeError, KeyError, ValueError):
             pass
+    # BENCH_SUITE.json keeps only the latest value per config; the append-only
+    # history preserves every measurement so a silent regression inside the
+    # run-to-run noise band (e.g. config 1's 0.31-0.44 CPU spread) stays
+    # visible across rounds.
+    hist = os.path.join(REPO, "BENCH_HISTORY.jsonl")
     for c in [int(x) for x in args.configs.split(",")]:
         r = run_config(c)
         print(json.dumps(r), flush=True)
         merged[c] = r
+        with open(hist, "a") as f:
+            f.write(json.dumps({"ts": time.time(), **r}) + "\n")
     with open(path, "w") as f:
         json.dump([merged[c] for c in sorted(merged)], f, indent=1)
 

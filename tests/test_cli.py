@@ -127,6 +127,22 @@ def test_retrain_fresh_dir_and_online_eval(fixture_dir, capsys):
     # the retrain run actually persisted checkpoints (orbax should_save no-op bug)
     steps = [d for d in os.listdir(new_ckpt) if d.isdigit()]
     assert steps, f"no checkpoints written to {new_ckpt}"
+    # best-metric tracking (reference parity): the first eval improves every
+    # metric, so all 9 land in the sidecar and best checkpoints exist
+    import json
+
+    logdir = os.path.join(root, "runs", "cli_retrain")
+    with open(os.path.join(logdir, "best_eval.json")) as f:
+        best = json.load(f)
+    from bts_tpu.evaluation.metrics import METRIC_NAMES
+
+    assert set(best) == set(METRIC_NAMES)
+    best_root = os.path.join(logdir, "ckpt_best")
+    assert os.path.isdir(os.path.join(best_root, "abs_rel"))
+    assert any(
+        d.isdigit() for d in os.listdir(os.path.join(best_root, "abs_rel"))
+    ), "no best checkpoint written"
+    assert "new best @ step" in out
 
 
 def test_spatial_shards_test_driver(tmp_path):
