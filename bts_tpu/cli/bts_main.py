@@ -221,6 +221,17 @@ def main(argv=None):
         state = restore_for_retrain(src, state)
         src.close()
         print(f"[bts_tpu] retrain from {restore_dir} (step reset)")
+        # a reused logdir still holds the OLD run's checkpoints at later
+        # steps; orbax silently refuses to save step <= latest, so the fresh
+        # step-0 run would train without persisting anything — clear them
+        # (same rationale as the best-bar reset below)
+        if os.path.isdir(save_dir) and any(
+            d.isdigit() for d in os.listdir(save_dir)
+        ):
+            import shutil
+
+            shutil.rmtree(save_dir)
+            print(f"[bts_tpu] retrain: cleared stale checkpoints in {save_dir}")
         mgr = CheckpointManager(save_dir)
     else:
         mgr = CheckpointManager(restore_dir if cfg.checkpoint_path else save_dir)
@@ -271,6 +282,14 @@ def main(argv=None):
 
     best_tracker = BestTracker(logdir)
     best_ckpts = BestCheckpoints(os.path.join(logdir, "ckpt_best"))
+    if cfg.retrain and best_tracker.best:
+        # --retrain resets the step counter; the best-metric bar and the
+        # per-metric best checkpoints reset with it — a reused logdir would
+        # otherwise compete against the OLD run's bar while orbax silently
+        # refuses to save bests at steps <= the stale managers' latest
+        best_tracker.reset()
+        best_ckpts.reset()
+        print("[bts_tpu] retrain: reset stale best-metric bar + best checkpoints")
 
     def on_eval(step, st):
         if not cfg.do_online_eval:
@@ -279,9 +298,13 @@ def main(argv=None):
         if results is not None:
             eval_writer.scalars(step, dict(zip(("eval/" + n for n in METRIC_NAMES), results)))
             print("eval: " + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, results)))
-            improved = best_tracker.update(step, results)
+            # sidecar written only AFTER the best checkpoints commit: a crash
+            # in between must not leave a bar whose checkpoints don't exist
+            # (strict </> on resume would then suppress re-saving them)
+            improved = best_tracker.update(step, results, persist=False)
             if improved:
                 best_ckpts.save(improved, step, st)
+                best_tracker.persist()
                 eval_writer.scalars(
                     step,
                     {

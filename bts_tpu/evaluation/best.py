@@ -39,11 +39,19 @@ class BestTracker:
             except (json.JSONDecodeError, OSError):
                 self.best = {}
 
-    def update(self, step: int, results: Sequence[float]) -> List[str]:
+    def update(
+        self, step: int, results: Sequence[float], persist: bool = True
+    ) -> List[str]:
         """Record one eval's 9-metric results; return improved metric names.
 
         ``results`` is ordered like METRIC_NAMES (what ``online_eval``
         returns). Non-finite values never count as improvements.
+
+        ``persist=False`` defers the sidecar write to an explicit
+        :meth:`persist` — the train driver writes the sidecar only AFTER the
+        matching best checkpoints have committed, so a crash between the two
+        can never leave a bar that permanently suppresses re-saving a best
+        that was never stored (strict </> comparison on resume).
         """
         import math
 
@@ -61,12 +69,23 @@ class BestTracker:
             if better:
                 self.best[name] = {"value": value, "step": int(step)}
                 improved.append(name)
-        if improved:
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self.best, f, indent=1)
-            os.replace(tmp, self.path)
+        if improved and persist:
+            self.persist()
         return improved
+
+    def persist(self) -> None:
+        """Atomically write the current bar to the JSON sidecar."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.best, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def reset(self) -> None:
+        """Drop the bar and delete the sidecar (``--retrain`` into a reused
+        logdir: a step-0 run must not compete against the old run's bests)."""
+        self.best = {}
+        if os.path.exists(self.path):
+            os.remove(self.path)
 
 
 class BestCheckpoints:
@@ -79,8 +98,24 @@ class BestCheckpoints:
         self._mgrs: Dict[str, object] = {}
 
     def save(self, metrics: Sequence[str], step: int, state) -> None:
+        """Save WEIGHTS-ONLY best checkpoints (step/params/batch_stats) for
+        each improved metric, and return only once they are all COMMITTED.
+
+        One device->host copy per eval regardless of how many metrics
+        improved; opt_state is excluded (the reference's per-metric best
+        files hold model weights only, and AdamW state would triple the
+        bytes x up to 9 metrics).  The blocking commit is what lets the
+        caller order the best_eval.json sidecar write strictly after the
+        checkpoints exist.
+        """
+        import jax
+
         from bts_tpu.utils.checkpoint import CheckpointManager
 
+        host = jax.device_get(
+            {"step": state.step, "params": state.params, "batch_stats": state.batch_stats}
+        )
+        touched = []
         for name in metrics:
             mgr = self._mgrs.get(name)
             if mgr is None:
@@ -88,7 +123,19 @@ class BestCheckpoints:
                     os.path.join(self.root, name), max_to_keep=1
                 )
                 self._mgrs[name] = mgr
-            mgr.save(step, state)
+            mgr.save_host(step, host)
+            touched.append(mgr)
+        for mgr in touched:
+            mgr.wait()
+
+    def reset(self) -> None:
+        """Delete all per-metric best checkpoints (``--retrain`` counterpart
+        of BestTracker.reset)."""
+        import shutil
+
+        self.close()
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
 
     def close(self) -> None:
         for mgr in self._mgrs.values():

@@ -145,6 +145,45 @@ def test_retrain_fresh_dir_and_online_eval(fixture_dir, capsys):
     assert "new best @ step" in out
 
 
+def test_retrain_reused_logdir_resets_and_best_restores(fixture_dir, capsys):
+    """--retrain into a logdir that already ran must reset the best-metric
+    bar, the per-metric best checkpoints, AND the stale main ckpt dir
+    (orbax silently refuses step <= latest, so a fresh run would otherwise
+    persist nothing); the weights-only best checkpoint then restores through
+    the public bts_test entrypoint (advisor round-3 findings 1-3)."""
+    root = fixture_dir
+    logdir = os.path.join(root, "runs", "cli_retrain")
+    old_bar = json.load(open(os.path.join(logdir, "best_eval.json")))
+
+    src_ckpt = os.path.join(root, "runs", "cli_test", "ckpt")
+    assert train_main([
+        f"@{root}/args.txt",
+        "--model_name", "cli_retrain",
+        "--retrain", "--checkpoint_path", src_ckpt,
+        "--do_online_eval", "--eval_freq", "2",
+        "--data_path_eval", str(root), "--gt_path_eval", str(root),
+        "--filenames_file_eval", f"{root}/split.txt",
+        "--min_depth_eval", "1e-3", "--max_depth_eval", "10",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "retrain: reset stale best-metric bar" in out
+    assert "retrain: cleared stale checkpoints" in out
+    # the fresh run re-persisted both regular and best checkpoints
+    assert any(d.isdigit() for d in os.listdir(os.path.join(logdir, "ckpt")))
+    new_bar = json.load(open(os.path.join(logdir, "best_eval.json")))
+    assert set(new_bar) == set(old_bar)  # all 9 metrics re-established
+
+    # weights-only best checkpoint restores through the public test driver
+    best_ckpt = os.path.join(logdir, "ckpt_best", "abs_rel")
+    assert bts_test_cli([
+        "--dataset", "nyu", "--encoder", "mobilenetv2_bts", "--bts_size", "64",
+        "--max_depth", "10", "--data_path", str(root), "--gt_path", str(root),
+        "--filenames_file", f"{root}/split.txt", "--compute_dtype", "float32",
+        "--checkpoint_path", best_ckpt, "--out_path", f"{root}/preds_best",
+    ]) == 0
+    assert len(os.listdir(f"{root}/preds_best/raw")) == 4
+
+
 def test_spatial_shards_test_driver(tmp_path):
     """--spatial_shards N through bts_test: H-sharded forward (GSPMD halos
     over the model mesh axis) must write byte-identical prediction PNGs to
