@@ -142,6 +142,85 @@ ENCODER_MAPPINGS = {
 }
 
 
+def _conv(flax_prefix: Tuple[str, ...], torch_prefix: str) -> List[MapEntry]:
+    """A biased conv: flax {kernel,bias} <-> torch {weight,bias}."""
+    return [
+        (flax_prefix + ("kernel",), torch_prefix + ".weight", K_CONV),
+        (flax_prefix + ("bias",), torch_prefix + ".bias", K_DIRECT),
+    ]
+
+
+def _reduc_mapping(flax_mod: str, torch_prefix: str, nf0: int) -> List[MapEntry]:
+    """reduction_1x1 conv chain: 1x1 convs halving nf0 down to the head
+    (models.layers.Reduction1x1 loop), torch side named <prefix>.conv{j}."""
+    m: List[MapEntry] = []
+    j, nf = 0, nf0
+    while nf >= 4:
+        m += _conv((flax_mod, f"Conv_{j}"), f"{torch_prefix}.conv{j}")
+        j += 1
+        if nf < 8:
+            break
+        nf //= 2
+    return m
+
+
+def decoder_mapping(num_features: int) -> List[MapEntry]:
+    """BTS decoder <-> a torch state_dict in the upstream-pytorch-style
+    naming (upconv5.conv / bn5 / conv5 / daspp_<rate>.{first_bn,conv1,bn,
+    conv2} / daspp_conv / reduc{8x8,4x4,2x2,1x1}.conv{j} / conv{3,2,1} /
+    get_depth).  Paths are RELATIVE to the BtsDecoder subtree (the
+    ``BtsDecoder_0`` key inside a full BtsModel tree).
+
+    The upstream lineage's exact state_dict keys are unverifiable offline
+    (SURVEY.md §8 — the reference mount is empty); when a real released
+    checkpoint becomes available, loading it through this mapping needs at
+    most a key-rename shim, never a transpose/topology change.  Until then
+    the mapping is pinned by tests/test_torch_oracle.py's hand-built torch
+    decoder: an INDEPENDENT torch compute stack must reproduce the flax
+    decoder's five outputs bit-for-tolerance through this exact mapping.
+
+    ``num_features`` must be >= 128 so every reduction head (down to
+    num_features//32 for reduc1x1) has its full conv chain.
+    """
+    if num_features < 128:
+        raise ValueError(
+            f"decoder_mapping requires num_features >= 128 (reduc1x1 head "
+            f"needs num_features//32 >= 4); got {num_features}"
+        )
+    m: List[MapEntry] = []
+    m += _conv(("UpConv_0", "ConvBlock_0", "Conv_0"), "upconv5.conv")
+    m += _bn(("BatchNorm_0",), "bn5")
+    m += _conv(("ConvBlock_0", "Conv_0"), "conv5")
+    m += _conv(("UpConv_1", "ConvBlock_0", "Conv_0"), "upconv4.conv")
+    m += _bn(("BatchNorm_1",), "bn4")
+    m += _conv(("ConvBlock_1", "Conv_0"), "conv4")
+    m += _bn(("BatchNorm_2",), "bn4_2")
+    for i, rate in enumerate((3, 6, 12, 18, 24)):
+        mod, tp = f"AtrousConv_{i}", f"daspp_{rate}"
+        bn_i = 0
+        if i > 0:  # rate-3 cell has apply_bn_first=False (models.layers)
+            m += _bn((mod, "BatchNorm_0"), f"{tp}.first_bn")
+            bn_i = 1
+        m += _conv((mod, "Conv_0"), f"{tp}.conv1")
+        m += _bn((mod, f"BatchNorm_{bn_i}"), f"{tp}.bn")
+        m += _conv((mod, "Conv_1"), f"{tp}.conv2")
+    m += _conv(("ConvBlock_2", "Conv_0"), "daspp_conv")
+    m += _reduc_mapping("Reduction1x1_0", "reduc8x8", num_features // 4)
+    m += _conv(("UpConv_2", "ConvBlock_0", "Conv_0"), "upconv3.conv")
+    m += _bn(("BatchNorm_3",), "bn3")
+    m += _conv(("ConvBlock_3", "Conv_0"), "conv3")
+    m += _reduc_mapping("Reduction1x1_1", "reduc4x4", num_features // 8)
+    m += _conv(("UpConv_3", "ConvBlock_0", "Conv_0"), "upconv2.conv")
+    m += _bn(("BatchNorm_4",), "bn2")
+    m += _conv(("ConvBlock_4", "Conv_0"), "conv2")
+    m += _reduc_mapping("Reduction1x1_2", "reduc2x2", num_features // 16)
+    m += _conv(("UpConv_4", "ConvBlock_0", "Conv_0"), "upconv1.conv")
+    m += _reduc_mapping("Reduction1x1_3", "reduc1x1", num_features // 32)
+    m += _conv(("ConvBlock_5", "Conv_0"), "conv1")
+    m += _conv(("ConvBlock_6", "Conv_0"), "get_depth")
+    return m
+
+
 def torch_to_flax_tensor(arr: np.ndarray, kind: str) -> np.ndarray:
     if kind in (K_CONV, K_DEPTHWISE):
         return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
@@ -168,23 +247,21 @@ def _set_path(tree: dict, path: Tuple[str, ...], value) -> None:
     node[path[-1]] = value
 
 
-def convert_encoder(
-    encoder_name: str,
+def _apply_mapping(
+    mapping: List[MapEntry],
     state_dict: Dict[str, np.ndarray],
     params: dict,
     batch_stats: dict,
 ) -> Tuple[dict, dict]:
-    """Write torch weights into copies of (params, batch_stats) for the
-    encoder subtree; returns the updated trees.  ``state_dict`` values may be
-    torch tensors or numpy arrays.
-    """
+    """Write torch weights into copies of (params, batch_stats) following
+    ``mapping``; returns the updated trees.  ``state_dict`` values may be
+    torch tensors or numpy arrays.  Every target leaf is shape-checked."""
     import copy
 
     import jax.numpy as jnp
 
     params = copy.deepcopy(jax_to_py(params))
     batch_stats = copy.deepcopy(jax_to_py(batch_stats))
-    mapping = ENCODER_MAPPINGS[encoder_name]()
     for flax_path, torch_key, kind in mapping:
         if torch_key not in state_dict:
             raise KeyError(f"{torch_key} missing from state_dict (for {'/'.join(flax_path)})")
@@ -194,6 +271,29 @@ def convert_encoder(
         tree = batch_stats if flax_path[-1] in ("mean", "var") else params
         _set_path(tree, flax_path, jnp.asarray(arr))
     return params, batch_stats
+
+
+def convert_encoder(
+    encoder_name: str,
+    state_dict: Dict[str, np.ndarray],
+    params: dict,
+    batch_stats: dict,
+) -> Tuple[dict, dict]:
+    """torch encoder state_dict -> (params, batch_stats) for the encoder
+    subtree (ENCODER_MAPPINGS)."""
+    return _apply_mapping(ENCODER_MAPPINGS[encoder_name](), state_dict, params, batch_stats)
+
+
+def convert_decoder(
+    num_features: int,
+    state_dict: Dict[str, np.ndarray],
+    params: dict,
+    batch_stats: dict,
+) -> Tuple[dict, dict]:
+    """torch BTS-decoder state_dict -> (params, batch_stats) for the
+    BtsDecoder subtree (decoder_mapping); trees are RELATIVE to the decoder
+    (pass ``variables['params']['BtsDecoder_0']`` from a full BtsModel)."""
+    return _apply_mapping(decoder_mapping(num_features), state_dict, params, batch_stats)
 
 
 def jax_to_py(tree):
