@@ -48,9 +48,10 @@ def frame_batches(files, batch: int, do_kb_crop: bool, q: "queue.Queue"):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="sequence")
-    from bts_tpu.config import adopt_sidecar_geometry
+    from bts_tpu.config import adopt_sidecar_geometry, warn_b4_anomaly
 
     cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
+    warn_b4_anomaly(cfg)
     files = sorted(
         sum((glob.glob(os.path.join(cfg.image_path, p)) for p in ("*.png", "*.jpg", "*.jpeg")), [])
     )

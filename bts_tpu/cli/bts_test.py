@@ -68,9 +68,10 @@ def restore_state(cfg, model, sample_image):
 
 def main(argv=None):
     cfg = parse_args(argv, mode="test")
-    from bts_tpu.config import adopt_sidecar_geometry
+    from bts_tpu.config import adopt_sidecar_geometry, warn_b4_anomaly
 
     cfg = adopt_sidecar_geometry(cfg)  # trained-run stride-2 geometry, if recorded
+    warn_b4_anomaly(cfg)
     model = create_model(cfg)
     loader = BtsDataLoader(cfg, "test")
     out_dir = cfg.out_path or f"result_{cfg.model_name}"

@@ -167,6 +167,25 @@ def adopt_sidecar_geometry(cfg: Config, extra_dirs: tuple = ()) -> Config:
     return cfg
 
 
+def warn_b4_anomaly(cfg: Config) -> bool:
+    """Print the PERFORMANCE.md batch-sweep warning when an inference driver
+    resolves to the known-bad batch size.
+
+    The round-3 sweep (PERFORMANCE.md "Batch-size sweep") measured batch 4 at
+    12% BELOW batch-1 per-image throughput on the v5e for the DenseNet-161
+    KITTI geometry — an XLA layout/algorithm assignment anomaly, consistent
+    across 8 device spans.  Nothing in our code branches on batch, so until a
+    toolchain bump makes it go away, steer users off the bad point."""
+    if cfg.batch_size == 4 and cfg.mode in ("test", "sequence"):
+        print(
+            "[bts_tpu] note: inference batch 4 measured ~12% below batch-1 "
+            "per-image throughput on TPU v5e (XLA layout anomaly — see "
+            "PERFORMANCE.md batch sweep); prefer --batch_size 1, 8, 16 or 24"
+        )
+        return True
+    return False
+
+
 def _convert_arg_line_to_args(arg_line: str):
     """Reference-compatible arg-file line splitting (one or more tokens/line).
 

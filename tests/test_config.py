@@ -69,3 +69,16 @@ def test_encoder_pad_resolution_and_sidecar(tmp_path):
     explicit = Config(mode="test", encoder_pad="same", checkpoint_path=os.path.join(logdir, "ckpt"))
     assert adopt_sidecar_geometry(explicit).encoder_pad == "same"
     assert adopt_sidecar_geometry(Config(mode="test")).encoder_pad == "auto"
+
+
+def test_warn_b4_anomaly(capsys):
+    """Inference drivers warn on the known-bad batch-4 point (PERFORMANCE.md
+    batch sweep: 12% below b1 per-image on v5e); training and other batch
+    sizes stay silent."""
+    from bts_tpu.config import Config, warn_b4_anomaly
+
+    assert warn_b4_anomaly(Config(mode="test", batch_size=4))
+    assert "batch 4" in capsys.readouterr().out
+    assert warn_b4_anomaly(Config(mode="sequence", batch_size=4))
+    assert not warn_b4_anomaly(Config(mode="test", batch_size=8))
+    assert not warn_b4_anomaly(Config(mode="train", batch_size=4))
