@@ -177,15 +177,50 @@ def main():
     # history preserves every measurement so a silent regression inside the
     # run-to-run noise band (e.g. config 1's 0.31-0.44 CPU spread) stays
     # visible across rounds.
+    # Git policy: BENCH_HISTORY.jsonl is COMMITTED — it is the cross-round
+    # regression record (BENCH_SUITE.json only keeps the latest value).
     hist = os.path.join(REPO, "BENCH_HISTORY.jsonl")
     for c in [int(x) for x in args.configs.split(",")]:
         r = run_config(c)
         print(json.dumps(r), flush=True)
         merged[c] = r
-        with open(hist, "a") as f:
-            f.write(json.dumps({"ts": time.time(), **r}) + "\n")
+        if "value" in r:  # failed runs never pollute the history consumers parse
+            check_regression(hist, c, r)
+            with open(hist, "a") as f:
+                f.write(json.dumps({"ts": time.time(), **r}) + "\n")
+        else:
+            print(f"[bench_suite] config {c} errored; not recorded in history", flush=True)
     with open(path, "w") as f:
         json.dump([merged[c] for c in sorted(merged)], f, indent=1)
+
+
+def check_regression(hist: str, c: int, r: dict, threshold: float = 0.05) -> bool:
+    """Warn when a config regresses >5% below its history median (all suite
+    metrics are higher-is-better img/s).  Mixed-method records (walltime vs
+    device-span, see the 'method' field) are compared within-method only."""
+    if not os.path.exists(hist):
+        return False
+    prior = []
+    with open(hist) as f:
+        for line in f:
+            try:
+                h = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if h.get("config") == c and "value" in h and h.get("method") == r.get("method"):
+                prior.append(float(h["value"]))
+    if not prior:
+        return False
+    med = sorted(prior)[len(prior) // 2]
+    if float(r["value"]) < med * (1.0 - threshold):
+        print(
+            f"[bench_suite] WARNING: config {c} = {r['value']} is "
+            f"{(1 - float(r['value']) / med) * 100:.1f}% below its history "
+            f"median {med} ({len(prior)} runs) — possible regression",
+            flush=True,
+        )
+        return True
+    return False
 
 
 if __name__ == "__main__":
