@@ -31,18 +31,30 @@ def maybe_init_distributed() -> bool:
     """Initialize jax.distributed for multi-host (multi-slice) runs.
 
     TPU pods launch one process per host; JAX's coordinator discovers the
-    fleet from the TPU runtime (or JAX_COORDINATOR_ADDRESS/NUM_PROCESSES
-    env). Safe no-op on single-host. After this, jax.devices() spans all
-    hosts and the data axis of :func:`create_mesh` rides ICI within a slice
-    and DCN across slices (device order is ICI-major).
+    fleet from the TPU runtime, or from JAX_COORDINATOR_ADDRESS (read by
+    jax itself) plus JAX_NUM_PROCESSES/JAX_PROCESS_ID (read here — jax 0.9
+    has no env fallback for those two outside SLURM/OMPI clusters).  Safe
+    no-op on single-host. After this, jax.devices() spans all hosts and the
+    data axis of :func:`create_mesh` rides ICI within a slice and DCN
+    across slices (device order is ICI-major).
+
+    MUST run before anything touches the XLA backend: even
+    ``jax.process_count()`` initializes the client, after which
+    ``jax.distributed.initialize`` refuses to run (verified on jax 0.9) —
+    so the already-initialized check goes through ``jax.distributed``'s own
+    state, never through a backend query.
     """
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if jax.distributed.is_initialized():
+        return True
     if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        kwargs = {}
+        n, pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
+        if n is not None and pid is not None:
+            kwargs = dict(num_processes=int(n), process_id=int(pid))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
             return True
         except Exception as e:  # pragma: no cover - env-specific
             print(f"[bts_tpu] jax.distributed.initialize failed: {e}")
