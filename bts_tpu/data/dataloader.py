@@ -234,7 +234,9 @@ class BtsDataLoader:
 
     def _load_record(self, index: int):
         """Decode record ``index`` to the same contract as :meth:`_load`."""
-        img, raw_depth, focal = self.record_source.read(index)
+        img, raw_depth, focal = self.record_source.read(
+            index, use_native=self.cfg.use_native_loader != "never"
+        )
         depth = None
         if raw_depth is not None and self.mode != "test":
             depth = depth_from_png(raw_depth, self.cfg.dataset)

@@ -65,6 +65,20 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.bts_peek_dims.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.bts_decode_rgb_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.bts_decode_depth_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.bts_loader_create.restype = ctypes.c_void_p
         lib.bts_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -123,6 +137,60 @@ def decode_depth(path: str, crop_mode: int, inv_scale: float, out_h: int, out_w:
     )
     if rc != 0 or h.value != out_h or w.value != out_w:
         raise IOError(f"native decode_depth failed for {path} (rc={rc}, {h.value}x{w.value})")
+    return out
+
+
+def _as_u8_ptr(data: bytes):
+    return ctypes.cast(
+        (ctypes.c_char * len(data)).from_buffer_copy(data),
+        ctypes.POINTER(ctypes.c_uint8),
+    )
+
+
+def peek_dims(data: bytes) -> Tuple[int, int]:
+    """(h, w) of an encoded PNG/JPEG payload without decoding (header parse)."""
+    lib = _load()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.bts_peek_dims(_as_u8_ptr(data), len(data), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"unrecognized/truncated image header ({len(data)} bytes)")
+    return h.value, w.value
+
+
+def decode_rgb_mem(data: bytes) -> np.ndarray:
+    """Decode encoded PNG/JPEG bytes -> (h, w, 3) uint8, no crop.
+
+    The ArrayRecord hot path (records carry encoded bytes; crop is applied
+    downstream by the code shared with the PIL file path)."""
+    lib = _load()
+    sh, sw = peek_dims(data)
+    out = np.empty((sh, sw, 3), np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.bts_decode_rgb_mem(
+        _as_u8_ptr(data), len(data), CROP_NONE,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0 or h.value != sh or w.value != sw:
+        raise IOError(f"native decode_rgb_mem failed (rc={rc}, {h.value}x{w.value})")
+    return out
+
+
+def decode_depth_mem(data: bytes) -> np.ndarray:
+    """Decode uint16 depth-PNG bytes -> (h, w) float32 RAW COUNTS, no crop.
+
+    inv_scale=1.0 keeps the record contract (scaling to meters happens in
+    depth_from_png downstream, identical to the PIL path — f32 holds uint16
+    exactly)."""
+    lib = _load()
+    sh, sw = peek_dims(data)
+    out = np.empty((sh, sw), np.float32)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.bts_decode_depth_mem(
+        _as_u8_ptr(data), len(data), CROP_NONE, 1.0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0 or h.value != sh or w.value != sw:
+        raise IOError(f"native decode_depth_mem failed (rc={rc}, {h.value}x{w.value})")
     return out
 
 

@@ -50,11 +50,20 @@ def encode_record(img_bytes: bytes, depth_bytes: Optional[bytes], focal: float) 
     )
 
 
-def decode_record(buf: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
+def decode_record(
+    buf: bytes, use_native: bool = True
+) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
     """-> (uint8 HWC image, raw decoded depth PNG array or None, focal).
 
-    The depth array is the raw PNG payload (uint16 counts); scaling to meters
-    (x1/256 KITTI, x1/1000 NYU) happens in the loader like the PNG-tree path.
+    The depth array is the raw PNG payload (counts; uint16 via PIL, float32
+    via the native decoder — exact either way); scaling to meters (x1/256
+    KITTI, x1/1000 NYU) happens in the loader like the PNG-tree path.
+
+    ``use_native`` routes the payload decode through the C++ in-memory
+    decoder (``native_loader.decode_rgb_mem``/``decode_depth_mem``) when the
+    library is available (measured per-path costs: PERFORMANCE.md input
+    table); PIL remains the fallback for anything the native path can't
+    parse (e.g. paletted/8-bit depth PNGs).
     """
     from PIL import Image
 
@@ -69,7 +78,21 @@ def decode_record(buf: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
         raise ValueError(
             f"record truncated: img_len {img_len} overruns {len(buf)}-byte payload"
         )
-    image = np.asarray(Image.open(io.BytesIO(buf[off : off + img_len])).convert("RGB"), np.uint8)
+    native = None
+    if use_native:
+        from bts_tpu.data import native_loader as nl
+
+        native = nl if nl.available() else None
+
+    img_bytes = buf[off : off + img_len]
+    image = None
+    if native is not None:
+        try:
+            image = native.decode_rgb_mem(img_bytes)
+        except Exception:
+            image = None
+    if image is None:
+        image = np.asarray(Image.open(io.BytesIO(img_bytes)).convert("RGB"), np.uint8)
     off += img_len
     (depth_len,) = struct.unpack_from("<I", buf, off)
     off += 4
@@ -80,7 +103,14 @@ def decode_record(buf: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
         )
     depth = None
     if depth_len:
-        depth = np.array(Image.open(io.BytesIO(buf[off : off + depth_len])))
+        depth_bytes = buf[off : off + depth_len]
+        if native is not None:
+            try:
+                depth = native.decode_depth_mem(depth_bytes)
+            except Exception:
+                depth = None
+        if depth is None:
+            depth = np.array(Image.open(io.BytesIO(depth_bytes)))
     off += depth_len
     (focal,) = struct.unpack_from("<f", buf, off)
     return image, depth, focal
@@ -152,9 +182,11 @@ class RecordSource:
             pass
         return f"record {index} of {self._files}"
 
-    def read(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
+    def read(
+        self, index: int, use_native: bool = True
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], float]:
         try:
-            return decode_record(self._source[index])
+            return decode_record(self._source[index], use_native=use_native)
         except Exception as e:
             # name the shard + local record so a bad shard is findable among
             # thousands without bisecting the global index space

@@ -221,6 +221,66 @@ int bts_decode_depth(const char* path, int crop_mode, float inv_scale, float* ou
   return ok ? 0 : 2;
 }
 
+// ------------------------------------------------------- in-memory decode --
+// The ArrayRecord path (bts_tpu/data/records.py) carries already-encoded
+// PNG/JPEG bytes inside record payloads — no file to fopen.  fmemopen wraps
+// the payload in a FILE* so the exact same decode paths run; the caller
+// peeks dimensions first (fixed-offset IHDR for PNG, SOF scan for JPEG) to
+// size the output buffer, since records — unlike the fixed-geometry batch
+// loader — are decoded at their source size (crop happens downstream,
+// shared with the PIL path).
+
+// Parse encoded image dims without decoding.  Returns 0 and fills h/w, or
+// nonzero if the header is unrecognized/truncated.
+int bts_peek_dims(const uint8_t* buf, long len, int* h, int* w) {
+  static const unsigned char png_sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  if (len >= 24 && memcmp(buf, png_sig, 8) == 0) {
+    // 8-byte signature, 4-byte IHDR length, 4-byte "IHDR", then w,h (BE u32)
+    *w = (buf[16] << 24) | (buf[17] << 16) | (buf[18] << 8) | buf[19];
+    *h = (buf[20] << 24) | (buf[21] << 16) | (buf[22] << 8) | buf[23];
+    return (*w > 0 && *h > 0) ? 0 : 2;
+  }
+  if (len >= 4 && buf[0] == 0xFF && buf[1] == 0xD8) {  // JPEG SOI
+    long off = 2;
+    while (off + 9 < len) {
+      if (buf[off] != 0xFF) return 2;  // lost marker sync
+      uint8_t m = buf[off + 1];
+      if (m == 0xFF) { off++; continue; }         // fill byte
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD9))  // standalone markers
+        { off += 2; continue; }
+      long seg = ((long)buf[off + 2] << 8) | buf[off + 3];
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        // SOFn: [len][precision][h hi][h lo][w hi][w lo]
+        *h = (buf[off + 5] << 8) | buf[off + 6];
+        *w = (buf[off + 7] << 8) | buf[off + 8];
+        return (*w > 0 && *h > 0) ? 0 : 2;
+      }
+      off += 2 + seg;
+    }
+    return 2;
+  }
+  return 2;
+}
+
+int bts_decode_rgb_mem(const uint8_t* buf, long len, int crop_mode, uint8_t* out, int* out_h,
+                       int* out_w) {
+  FILE* f = fmemopen((void*)buf, (size_t)len, "rb");
+  if (!f) return 1;
+  bool ok = is_png(f) ? decode_png_rgb(f, crop_mode, out, out_h, out_w)
+                      : decode_jpeg_rgb(f, crop_mode, out, out_h, out_w);
+  fclose(f);
+  return ok ? 0 : 2;
+}
+
+int bts_decode_depth_mem(const uint8_t* buf, long len, int crop_mode, float inv_scale, float* out,
+                         int* out_h, int* out_w) {
+  FILE* f = fmemopen((void*)buf, (size_t)len, "rb");
+  if (!f) return 1;
+  bool ok = decode_png_depth(f, crop_mode, inv_scale, out, out_h, out_w);
+  fclose(f);
+  return ok ? 0 : 2;
+}
+
 // ------------------------------------------------------- batch prefetcher --
 // Python hands over the full sample table and, per epoch, an index order;
 // worker threads decode samples and assemble contiguous batches; next()

@@ -131,10 +131,15 @@ def main(argv=None) -> int:
             prefix = os.path.join(root, "rec")
             write_records(samples, prefix, shard_size=1024)
             rec_fn = prefix + "-*.array_record"
-            for workers in (1, 2):
-                r = measure(make_cfg(root, rec_fn, "never", workers), args.batches)
-                results.append({"path": "arrayrecord", "threads": workers, **r})
-                print(json.dumps(results[-1]), flush=True)
+            rec_variants = [("arrayrecord", "never")]
+            if nl.available():
+                # record payloads decoded through the native in-memory path
+                rec_variants.append(("arrayrecord+native", "auto"))
+            for rname, rmode in rec_variants:
+                for workers in (1, 2):
+                    r = measure(make_cfg(root, rec_fn, rmode, workers), args.batches)
+                    results.append({"path": rname, "threads": workers, **r})
+                    print(json.dumps(results[-1]), flush=True)
         except ImportError as e:
             print(f"[bench_input] array_record unavailable ({e}); skipped", flush=True)
 

@@ -106,3 +106,65 @@ def test_batch_loader_matches_single_decodes(tmp_path, rng):
     assert len(got2) == 3
     np.testing.assert_array_equal(got2[0]["image"][0], imgs[2])
     loader.close()
+
+
+@pytest.mark.skipif(not nl.available(), reason="native library unavailable")
+def test_mem_decode_matches_pil(rng):
+    """In-memory decode (the ArrayRecord hot path, round 4): peek_dims +
+    decode_rgb_mem/decode_depth_mem must be byte-exact vs PIL on PNG, and
+    pixel-exact vs PIL's own decode on JPEG (same libjpeg underneath)."""
+    import io
+
+    img = rng.integers(0, 255, (120, 200, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="PNG")
+    data = b.getvalue()
+    assert nl.peek_dims(data) == (120, 200)
+    np.testing.assert_array_equal(nl.decode_rgb_mem(data), img)
+
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=90)
+    jd = b.getvalue()
+    assert nl.peek_dims(jd) == (120, 200)
+    np.testing.assert_array_equal(
+        nl.decode_rgb_mem(jd), np.asarray(Image.open(io.BytesIO(jd)).convert("RGB"))
+    )
+
+    d = rng.integers(0, 60000, (64, 96)).astype(np.uint16)
+    b = io.BytesIO()
+    Image.fromarray(d).save(b, format="PNG")
+    dd = b.getvalue()
+    np.testing.assert_array_equal(nl.decode_depth_mem(dd), d.astype(np.float32))
+
+    with pytest.raises(ValueError):
+        nl.peek_dims(b"\x00" * 16)
+
+
+@pytest.mark.skipif(not nl.available(), reason="native library unavailable")
+def test_record_decode_native_matches_pil(rng):
+    """decode_record(use_native=True) must equal the PIL path exactly, and
+    fall back to PIL for payloads the native decoder can't parse (8-bit
+    grayscale depth PNG)."""
+    import io
+
+    from bts_tpu.data.records import decode_record, encode_record
+
+    img = rng.integers(0, 255, (80, 120, 3), dtype=np.uint8)
+    d = rng.integers(0, 60000, (80, 120)).astype(np.uint16)
+    bi, bd = io.BytesIO(), io.BytesIO()
+    Image.fromarray(img).save(bi, format="PNG")
+    Image.fromarray(d).save(bd, format="PNG")
+    rec = encode_record(bi.getvalue(), bd.getvalue(), 518.8)
+    i1, d1, f1 = decode_record(rec, use_native=True)
+    i2, d2, f2 = decode_record(rec, use_native=False)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(np.asarray(d1, np.float32), np.asarray(d2, np.float32))
+    assert f1 == f2
+
+    # 8-bit depth png: native path can't parse it -> PIL fallback, same values
+    d8 = rng.integers(0, 255, (40, 60)).astype(np.uint8)
+    b8 = io.BytesIO()
+    Image.fromarray(d8).save(b8, format="PNG")
+    rec8 = encode_record(bi.getvalue(), b8.getvalue(), 518.8)
+    _, dn, _ = decode_record(rec8, use_native=True)
+    np.testing.assert_array_equal(np.asarray(dn), d8)
