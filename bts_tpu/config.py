@@ -60,6 +60,7 @@ class Config:
     log_freq: int = 100
     save_freq: int = 500
     pretrained_model: str = ""
+    torch_checkpoint: str = ""  # FULL BTS torch ckpt (encoder+decoder) for cli.bts_convert
     # -- online eval
     do_online_eval: bool = False
     data_path_eval: str = ""

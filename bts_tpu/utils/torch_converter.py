@@ -331,3 +331,98 @@ def load_pretrained_encoder(variables: dict, encoder_name: str, path: str) -> di
         "batch_stats": {**jax_to_py(variables.get("batch_stats", {})), enc: bs},
     }
     return new_vars
+
+
+def _load_state_dict(path_or_sd) -> Dict[str, np.ndarray]:
+    """torch .pth/.pt (or .npz, or an in-memory dict) -> flat state_dict."""
+    if isinstance(path_or_sd, dict) or hasattr(path_or_sd, "state_dict"):
+        sd = path_or_sd
+    elif str(path_or_sd).endswith(".npz"):
+        sd = dict(np.load(path_or_sd))
+    else:
+        import torch
+
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # released training checkpoints commonly wrap the weights:
+    # {'model': sd, 'optimizer': ..., 'epoch'/'global_step': ...}
+    for wrapper in ("model", "state_dict", "model_state_dict"):
+        if wrapper in sd and hasattr(sd[wrapper], "items") and len(sd[wrapper]) > 4:
+            sd = sd[wrapper]
+            break
+    return dict(sd)
+
+
+def split_full_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Split a full BTS torch checkpoint into (encoder_sd, decoder_sd) with
+    prefixes normalized to what ENCODER_MAPPINGS/decoder_mapping expect.
+
+    Handles the upstream-pytorch-lineage key shapes (SURVEY.md §2 — exact
+    names unverifiable offline, so each is normalized rather than assumed):
+      - an optional ``module.`` DataParallel wrapper on every key,
+      - encoder keys under ``encoder.base_model.`` / ``encoder.`` /
+        ``base_model.`` (torchvision names underneath),
+      - decoder keys under ``decoder.`` (decoder_mapping names underneath).
+    A checkpoint with NO encoder./decoder. split raises — it is either an
+    encoder-only file (use load_pretrained_encoder) or an unknown layout.
+    """
+    enc, dec = {}, {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        if k.startswith("decoder."):
+            dec[k[len("decoder.") :]] = v
+        elif k.startswith("encoder."):
+            kk = k[len("encoder.") :]
+            if kk.startswith("base_model."):
+                kk = kk[len("base_model.") :]
+            enc[kk] = v
+        elif k.startswith("base_model."):
+            enc[k[len("base_model.") :]] = v
+    if not enc or not dec:
+        raise ValueError(
+            f"not a full BTS checkpoint: {len(enc)} encoder / {len(dec)} "
+            "decoder keys after prefix normalization (encoder-only files go "
+            "through load_pretrained_encoder / --pretrained_model)"
+        )
+    return enc, dec
+
+
+def load_torch_full_model(
+    variables: dict, encoder_name: str, num_features: int, path_or_sd
+) -> dict:
+    """Load a FULL BTS torch checkpoint (encoder + decoder) into a BtsModel
+    variables dict — the released-checkpoint import path (SURVEY.md §6
+    golden-parity contract: reference checkpoints -> this framework).
+
+    Returns a new variables dict; raises KeyError naming the first missing
+    torch key, or ValueError on unknown layouts — never silently partial.
+    """
+    sd = _load_state_dict(path_or_sd)
+    enc_sd, dec_sd = split_full_state_dict(sd)
+
+    enc_keys = [k for k in variables["params"] if k.split("_")[0] in
+                ("DenseNet", "ResNet", "MobileNetV2")]
+    if len(enc_keys) != 1:
+        raise ValueError(f"could not locate encoder subtree; candidates {enc_keys}")
+    enc = enc_keys[0]
+    p_enc, bs_enc = convert_encoder(
+        encoder_name, enc_sd,
+        variables["params"][enc], variables.get("batch_stats", {}).get(enc, {}),
+    )
+    p_dec, bs_dec = convert_decoder(
+        num_features, dec_sd,
+        variables["params"]["BtsDecoder_0"],
+        variables.get("batch_stats", {}).get("BtsDecoder_0", {}),
+    )
+    return {
+        "params": {**jax_to_py(variables["params"]), enc: p_enc, "BtsDecoder_0": p_dec},
+        "batch_stats": {
+            **jax_to_py(variables.get("batch_stats", {})),
+            enc: bs_enc,
+            "BtsDecoder_0": bs_dec,
+        },
+    }

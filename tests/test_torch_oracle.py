@@ -542,3 +542,64 @@ def test_decoder_oracle_negative_control():
     jref = np.asarray(lpg_reference(jnp.asarray(plane.numpy().transpose(0, 2, 3, 1)), 8))
     np.testing.assert_allclose(jref, good.numpy(), rtol=1e-5, atol=1e-5)
     assert np.abs(jref - swapped.numpy()).max() > 1e-2
+
+
+def test_full_model_torch_checkpoint_import(tmp_path):
+    """The released-checkpoint import path (SURVEY §6 golden-parity, load
+    half): a composed torch checkpoint in the upstream training layout
+    ({'model': sd} wrapper, 'module.' DataParallel prefix,
+    encoder.base_model.* / decoder.* subtrees) goes through the bts_convert
+    CLI into a weights-only orbax checkpoint; the public bts_test restore
+    path (sidecar-adopted torch geometry) must then reproduce the composed
+    torch encoder->decoder forward."""
+    enc_t = _randomize(TorchMobileNetV2().eval(), seed=3)
+    dec_t = _randomize(TorchBtsDecoder((16, 24, 32, 96, 1280), _NF, 10.0).eval(), seed=4)
+    rng = np.random.default_rng(9)
+    images = rng.uniform(0.0, 1.0, (1, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_final = dec_t(enc_t(torch.from_numpy(images.transpose(0, 3, 1, 2))))[-1]
+
+    sd = {}
+    for k, v in enc_t.state_dict().items():
+        sd[f"module.encoder.base_model.{k}"] = v
+    for k, v in dec_t.state_dict().items():
+        sd[f"module.decoder.{k}"] = v
+    ckpt = tmp_path / "bts_model.pth"
+    torch.save({"model": sd, "global_step": 50000}, ckpt)
+
+    from bts_tpu.cli.bts_convert import main as convert_main
+
+    out = tmp_path / "converted"
+    assert convert_main([
+        "--torch_checkpoint", str(ckpt), "--encoder", "mobilenetv2_bts",
+        "--bts_size", str(_NF), "--max_depth", "10", "--dataset", "nyu",
+        "--checkpoint_path", str(out), "--compute_dtype", "float32",
+    ]) == 0
+    import os
+
+    assert os.path.exists(out / "config.json")
+
+    from bts_tpu.cli.bts_test import restore_state
+    from bts_tpu.config import Config, adopt_sidecar_geometry
+    from bts_tpu.models import create_model
+
+    cfg = Config(mode="test", dataset="nyu", encoder="mobilenetv2_bts",
+                 bts_size=_NF, max_depth=10.0, compute_dtype="float32",
+                 checkpoint_path=str(out))
+    cfg = adopt_sidecar_geometry(cfg)
+    assert cfg.encoder_pad == "torch"  # geometry sidecar adopted
+    model = create_model(cfg)
+    state = restore_state(cfg, model, jnp.zeros((1, 64, 96, 3)))
+    final = jax.jit(
+        lambda p, s, x: model.apply({"params": p, "batch_stats": s}, x, False)[-1]
+    )(state.params, state.batch_stats, jnp.asarray(images))
+    a = t_final.numpy().transpose(0, 2, 3, 1)
+    scale = max(np.abs(a).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(final), a, rtol=3e-4, atol=3e-4 * scale)
+
+
+def test_split_full_state_dict_rejects_encoder_only():
+    from bts_tpu.utils.torch_converter import split_full_state_dict
+
+    with pytest.raises(ValueError, match="not a full BTS checkpoint"):
+        split_full_state_dict({"features.conv0.weight": np.zeros((64, 3, 7, 7))})
