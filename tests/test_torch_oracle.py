@@ -603,3 +603,69 @@ def test_split_full_state_dict_rejects_encoder_only():
 
     with pytest.raises(ValueError, match="not a full BTS checkpoint"):
         split_full_state_dict({"features.conv0.weight": np.zeros((64, 3, 7, 7))})
+
+
+# -- silog loss vs a torch boolean-gather oracle ----------------------------
+
+
+def _torch_silog(depth_est, depth_gt, mask, variance_focus):
+    """SURVEY.md §2.4 loss contract, expressed the torch-lineage way: boolean
+    indexing gathers the valid pixels (dynamic shape — fine on CPU torch),
+    whereas bts_tpu.ops.silog is mask-WEIGHTED for static shapes under jit.
+    Agreement pins the weighted re-expression against an independent stack."""
+    d = torch.log(depth_est[mask]) - torch.log(depth_gt[mask])
+    return torch.sqrt((d * d).mean() - variance_focus * d.mean() ** 2) * 10.0
+
+
+@pytest.mark.parametrize("variance_focus", [0.85, 0.5])
+def test_silog_matches_torch_oracle(variance_focus):
+    from bts_tpu.ops.silog import default_mask, silog_loss
+
+    rng = np.random.default_rng(7)
+    shape = (2, 44, 152, 1)
+    pred = rng.uniform(0.5, 80.0, shape).astype(np.float32)
+    # KITTI-style sparse gt: ~15% valid LiDAR returns, rest zero
+    gt = np.where(
+        rng.random(shape) < 0.15, rng.uniform(1.5, 80.0, shape), 0.0
+    ).astype(np.float32)
+    mask = np.asarray(default_mask(gt, "kitti"))
+
+    t_pred = torch.from_numpy(pred).requires_grad_(True)
+    t_loss = _torch_silog(
+        t_pred, torch.from_numpy(gt), torch.from_numpy(mask), variance_focus
+    )
+    t_loss.backward()
+
+    j_loss, j_grad = jax.value_and_grad(
+        lambda p: silog_loss(p, jnp.asarray(gt), jnp.asarray(mask), variance_focus)
+    )(jnp.asarray(pred))
+
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-5)
+    # gradient parity, incl. exact zeros outside the valid mask on both sides
+    np.testing.assert_allclose(
+        np.asarray(j_grad), t_pred.grad.numpy(), rtol=1e-4, atol=1e-7
+    )
+    assert np.all(np.asarray(j_grad)[~mask] == 0.0)
+
+
+def test_silog_oracle_negative_control():
+    """Sensitivity: evaluating the weighted form with the NYU mask threshold
+    while the oracle gathers with the KITTI mask must break parity — the
+    masks select different pixel sets, so agreement above is not vacuous."""
+    from bts_tpu.ops.silog import default_mask, silog_loss
+
+    rng = np.random.default_rng(9)
+    shape = (1, 44, 152, 1)
+    pred = rng.uniform(0.5, 80.0, shape).astype(np.float32)
+    gt = np.where(
+        rng.random(shape) < 0.3, rng.uniform(0.2, 80.0, shape), 0.0
+    ).astype(np.float32)
+    kitti = np.asarray(default_mask(gt, "kitti"))
+    nyu = np.asarray(default_mask(gt, "nyu"))
+    assert kitti.sum() < nyu.sum()  # thresholds 1.0 vs 0.1 really differ here
+
+    t = _torch_silog(
+        torch.from_numpy(pred), torch.from_numpy(gt), torch.from_numpy(kitti), 0.85
+    )
+    j = silog_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(nyu), 0.85)
+    assert abs(float(j) - float(t)) > 1e-3
