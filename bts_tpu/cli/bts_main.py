@@ -314,26 +314,47 @@ def main(argv=None):
                 )
                 print(f"[bts_tpu] new best @ step {step}: {', '.join(improved)}")
 
+    # SIGTERM (TPU-VM preemption / maintenance drain) => finish the in-flight
+    # step, fall through to the final checkpoint below, exit 0; the scheduler
+    # restarts this same command and sample-exact resume continues the data
+    # stream at the saved step (utils/preemption.py)
+    guard = None
+    if cfg.preempt_sync_freq > 0:
+        from bts_tpu.utils.preemption import PreemptionGuard
+
+        guard = PreemptionGuard(sync_freq=cfg.preempt_sync_freq)
     remaining = total_steps - int(state.step)
-    state = trainer.run(
-        state,
-        # sample-exact resume: the batch stream continues at the checkpointed
-        # global step (same per-epoch shuffle, same cursor), so a restarted
-        # run sees exactly the data an uninterrupted one would have
-        loader.prefetched(start_step=int(state.step)),
-        remaining,
-        on_metrics,
-        on_save,
-        on_eval,
-        profile_dir=os.path.join(logdir, "profile") if cfg.profile else None,
-    )
+    try:
+        state = trainer.run(
+            state,
+            # sample-exact resume: the batch stream continues at the
+            # checkpointed global step (same per-epoch shuffle, same cursor),
+            # so a restarted run sees exactly the data an uninterrupted one
+            # would have
+            loader.prefetched(start_step=int(state.step)),
+            remaining,
+            on_metrics,
+            on_save,
+            on_eval,
+            profile_dir=os.path.join(logdir, "profile") if cfg.profile else None,
+            should_stop=guard.should_stop if guard is not None else None,
+        )
+    finally:
+        if guard is not None:
+            guard.uninstall()
     mgr.save(int(state.step), state)
     mgr.wait()
     best_ckpts.close()
     if eval_writer is not writer:
         eval_writer.close()
     writer.close()
-    print(f"[bts_tpu] done at step {int(state.step)}")
+    if guard is not None and guard.preempted:
+        print(
+            f"[bts_tpu] preempted: checkpoint saved at step {int(state.step)} "
+            "— rerun the same command to resume"
+        )
+    else:
+        print(f"[bts_tpu] done at step {int(state.step)}")
     return 0
 
 

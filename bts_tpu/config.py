@@ -97,6 +97,7 @@ class Config:
     grad_accum_steps: int = 1  # microbatches per optimizer step (batch_size must divide; peak activation memory scales with batch_size/grad_accum_steps)
     dataloader_workers: int = 2
     seed: int = 0  # base seed for init, dropout/augment PRNG, loader shuffle
+    preempt_sync_freq: int = 10  # SIGTERM-preemption guard: multi-host stop decisions agree at this step cadence (0 disables the guard; utils/preemption.py)
     # -- serving export (cli/bts_export.py; no reference counterpart)
     export_path: str = ""  # output .stablehlo file for the serialized serving fn
     export_platforms: str = ""  # comma-separated lowering targets (tpu,cpu); default: current

@@ -387,6 +387,7 @@ class Trainer:
         on_save: Optional[Callable] = None,
         on_eval: Optional[Callable] = None,
         profile_dir: Optional[str] = None,
+        should_stop: Optional[Callable[[int], bool]] = None,
     ) -> TrainState:
         from bts_tpu.parallel.mesh import shard_batch, shard_batch_spatial
 
@@ -422,6 +423,16 @@ class Trainer:
                 # steps, not only on checkpoint steps)
                 if on_eval is not None and step % self.cfg.eval_freq == 0:
                     on_eval(step, state)
+                # cooperative preemption stop (utils/preemption.py): the
+                # caller persists the returned state, so breaking here loses
+                # nothing — and multi-host guards only decide at their sync
+                # cadence, keeping every rank's break step identical
+                if should_stop is not None and should_stop(step):
+                    print(
+                        f"[bts_tpu] stop requested: breaking at step {step}",
+                        flush=True,
+                    )
+                    break
         finally:
             # the train stream is usually infinite — close it so the loader's
             # prefetch thread and decode pool shut down when we stop early
