@@ -164,11 +164,26 @@ def main(argv=None):
     host, port = server.server_address[:2]
     print(f"[bts_tpu] serving depth on http://{host}:{port} "
           f"(batch={server.batcher.batch}, linger={cfg.serve_linger_ms} ms); Ctrl-C to stop")
+
+    # SIGTERM = the scheduler's stop (pod drain / rollout): stop accepting,
+    # let in-flight micro-batches finish, exit 0 — same contract as the train
+    # driver's preemption guard.  shutdown() blocks until serve_forever
+    # returns, and serve_forever runs on THIS thread, so the handler must
+    # fire it from a helper thread or the process deadlocks.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        print(f"[bts_tpu] received signal {signum}: draining and stopping", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    prev_term = signal.signal(signal.SIGTERM, _drain)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev_term)
         server.shutdown()
         server.server_close()
     return 0

@@ -207,6 +207,27 @@ def main() -> None:
     assert n_sharded > 0, "ZeRO-1 produced no sharded optimizer-state leaves"
     results["zero1_sharded_leaves"] = n_sharded
 
+    # 4) preemption-guard multi-host agreement (utils/preemption.py): only
+    # rank 1 observes the "signal"; off the sync cadence NO rank stops (each
+    # returns locally, no collective), and at the cadence step the global OR
+    # makes EVERY rank stop — the property that keeps a preempted pod from
+    # hanging its next collective on a half-broken loop.
+    import signal as _signal
+
+    from bts_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(signals=(_signal.SIGUSR1,), sync_freq=5)
+    try:
+        if pid == 1:
+            os.kill(os.getpid(), _signal.SIGUSR1)
+        barrier("preempt")
+        assert guard.should_stop(7) is False, "off-cadence step must not stop"
+        agreed = guard.should_stop(10)  # cadence step: allgathered OR
+        assert agreed, f"rank {pid} missed the preemption agreement"
+        results["preempt_agreed"] = bool(agreed)
+    finally:
+        guard.uninstall()
+
     for v in (results["loss_dp"], results["loss_sp"], results["loss_zero1"]):
         assert np.isfinite(v), results
 

@@ -126,6 +126,11 @@ def test_two_process_matches_single_process(dataset, tmp_path):
     for k in ("loss_dp", "loss_sp", "loss_zero1"):
         np.testing.assert_allclose(r0[k], r1[k], rtol=1e-6, err_msg=k)
 
+    # preemption guard: one rank's signal propagated to BOTH at the cadence
+    # step (utils/preemption.py multi-host agreement — the path single-process
+    # tests cannot execute)
+    assert r0.get("preempt_agreed") and r1.get("preempt_agreed")
+
     # ---- single-process 8-device reference (same seed/order/PRNG) ----
     from bts_tpu.data.dataloader import BtsDataLoader
     from bts_tpu.models import BtsModel

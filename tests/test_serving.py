@@ -310,3 +310,58 @@ def test_microbatcher_close_flushes_in_flight_batch():
     t.join(timeout=5.0)
     assert not t.is_alive()
     np.testing.assert_array_equal(fut_holder[0], np.full((2, 2, 1), 5.0, np.float32))
+
+
+@pytest.mark.slow
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """The scheduler's SIGTERM (pod drain / rollout) must stop accepting,
+    flush the micro-batcher, and exit 0 — delivered for real to a subprocess
+    running the public CLI (the handler's interplay with serve_forever on the
+    main thread cannot be exercised in-process)."""
+    import re
+    import signal
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "serve_worker.py")
+    out_path = os.path.join(str(tmp_path), "serve.log")
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            [
+                sys.executable, worker,
+                "--dataset", "nyu", "--encoder", "mobilenetv2_bts",
+                "--bts_size", "64", "--max_depth", "10",
+                "--compute_dtype", "float32", "--input_height", "64",
+                "--input_width", "96", "--batch_size", "2",
+                "--num_devices", "1", "--serve_port", "0",
+            ],
+            cwd=repo,
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        try:
+            deadline = time.time() + 600
+            port = None
+            while time.time() < deadline:
+                m = re.search(r"serving depth on http://[^:]+:(\d+)", open(out_path).read())
+                if m:
+                    port = int(m.group(1))
+                    break
+                if proc.poll() is not None:
+                    pytest.fail(f"server exited early:\n{open(out_path).read()}")
+                time.sleep(0.5)
+            assert port, f"server never came up:\n{open(out_path).read()}"
+
+            status, body, _ = _req(port, "/healthz")
+            assert status == 200 and json.loads(body)["status"] == "ok"
+
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    log = open(out_path).read()
+    assert rc == 0, f"SIGTERM must exit 0:\n{log}"
+    assert "draining and stopping" in log, log
