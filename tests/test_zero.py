@@ -233,3 +233,64 @@ def test_zero1_trainer_and_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         if hasattr(b, "sharding"):
             assert b.sharding.is_fully_replicated == a.sharding.is_fully_replicated
+
+
+def test_zero1_elastic_restore_across_device_counts(tmp_path):
+    """Elastic resume: checkpoints are device_get-gathered before save, so a
+    run saved on N devices must restore onto a DIFFERENT mesh — fewer data
+    shards (preempted pod restarted smaller) or a different layout — with
+    identical values, and training must continue there.  SURVEY.md §5
+    failure recovery; no reference counterpart (tf.distribute pins the
+    replica count)."""
+    from bts_tpu.training.trainer import Trainer
+    from bts_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, model, _, _, host_batch = _tiny_setup()
+    cfg = cfg.replace(shard_opt_state=True)
+    mesh8 = create_mesh()  # 8 data shards
+    trainer8 = Trainer(model, cfg, total_steps=10, mesh=mesh8, augment=True)
+    state = trainer8.init_state(host_batch)
+    state, _ = trainer8.train_step(
+        state, shard_batch(host_batch, mesh8), jax.random.PRNGKey(0)
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    want = jax.device_get(state)
+
+    # (a) restore onto HALF the data shards, still ZeRO-1: the m/v leaves
+    # land in the 4-way sharded layout with the same values
+    mesh4 = create_mesh(num_devices=4)
+    cfg4 = cfg.replace(batch_size=4)
+    trainer4 = Trainer(model, cfg4, total_steps=10, mesh=mesh4, augment=True)
+    tpl4 = trainer4.init_state({k: v[:4] for k, v in host_batch.items()})
+    restored4 = mgr.restore(tpl4)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(jax.device_get(restored4))):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert any(
+        hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(restored4.opt_state)
+    ), "restore dropped the ZeRO-1 sharding of the smaller mesh"
+    # training continues on the smaller mesh from the restored state
+    batch4 = {k: v[:4] for k, v in host_batch.items()}
+    st4, m4 = trainer4.train_step(
+        restored4, shard_batch(batch4, mesh4), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(m4["loss"]))
+    assert int(st4.step) == int(state.step) + 1
+
+    # (b) restore onto a 2-device REPLICATED layout (ZeRO off): same values,
+    # fully-replicated leaves
+    mesh2 = create_mesh(num_devices=2)
+    cfg2 = cfg.replace(batch_size=2, shard_opt_state=False)
+    trainer2 = Trainer(model, cfg2, total_steps=10, mesh=mesh2, augment=True)
+    tpl2 = trainer2.init_state({k: v[:2] for k, v in host_batch.items()})
+    restored2 = mgr.restore(tpl2)
+    mgr.close()
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(jax.device_get(restored2))):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert all(
+        l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(restored2.opt_state)
+        if hasattr(l, "sharding")
+    )
