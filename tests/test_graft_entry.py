@@ -41,7 +41,7 @@ def test_dryrun_multichip_self_provisions():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1800,  # includes the 2-process gloo stage (cold compile)
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "8 devices OK" in proc.stdout
