@@ -425,3 +425,37 @@ def test_arrayrecord_pipeline_matches_png_tree(tmp_path):
     # sample-exact resume works on the record path too
     resumed = next(iter(rec_loader.batches(start_step=2)))
     np.testing.assert_array_equal(resumed["image"], want[2]["image"])
+
+
+def test_rotate_matches_pil_oracle(rng):
+    """Rotation pinned against an INDEPENDENT oracle: PIL's Image.rotate is
+    the implementation the reference's dataloader actually calls (SURVEY
+    §2.10 [H]: rotate image bilinear / depth nearest, zero fill).  PIL's
+    screen-coordinate rotate(+deg) equals our math-convention
+    rotate_image(-rad); the train-time angle is symmetric U(-degree,+degree)
+    (augment.py::random_rotate) so the convention flip is
+    distribution-neutral.  Interior-only comparison: PIL's zero-fill ring
+    geometry differs by a border sliver, same caveat as the shear test."""
+    img = rng.random((64, 96), dtype=np.float64).astype(np.float32)
+    for deg in (0.9, 1.7, -2.3):
+        a = jnp.float32(-np.radians(deg))
+        pil_bl = np.asarray(
+            Image.fromarray(img, mode="F").rotate(deg, resample=Image.BILINEAR)
+        )
+        ours_bl = np.asarray(rotate_image(jnp.asarray(img), a, order=1))
+        assert np.abs(ours_bl - pil_bl)[4:-4, 4:-4].max() < 1e-4
+        pil_nn = np.asarray(
+            Image.fromarray(img, mode="F").rotate(deg, resample=Image.NEAREST)
+        )
+        ours_nn = np.asarray(rotate_image(jnp.asarray(img), a, order=0))
+        # nearest: identical source picks except sub-pixel rounding ties
+        mism = np.abs(ours_nn - pil_nn)[4:-4, 4:-4] > 1e-6
+        assert mism.mean() < 0.005
+    # negative control: the un-flipped sign must NOT match (a silently wrong
+    # convention map would make this oracle vacuous)
+    a = jnp.float32(np.radians(1.7))
+    pil_bl = np.asarray(
+        Image.fromarray(img, mode="F").rotate(1.7, resample=Image.BILINEAR)
+    )
+    wrong = np.asarray(rotate_image(jnp.asarray(img), a, order=1))
+    assert np.abs(wrong - pil_bl)[4:-4, 4:-4].max() > 0.1
