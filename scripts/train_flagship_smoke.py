@@ -217,10 +217,21 @@ def main():
         evals[tag] = parse_metrics(eval_out)
         print(f"  {tag}: {evals[tag]}", flush=True)
 
+    try:  # provenance stamp: which code produced this record
+        rev = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        rev = None
     result = {
         "recipe": f"{ds['encoder']} {args.dataset} {ds['ih']}x{ds['iw']} "
                   f"b{batch_size}{' remat' if ds['remat'] else ''}"
                   f"{' kb_crop' if ds['kb_crop'] else ''} rotate",
+        "git_rev": rev,
+        "date": subprocess.run(
+            ["date", "-u", "+%Y-%m-%d"], capture_output=True, text=True
+        ).stdout.strip(),
         "steps": losses[-1][0] if losses else None,
         "loss_first": losses[0][1] if losses else None,
         "loss_last": losses[-1][1] if losses else None,
