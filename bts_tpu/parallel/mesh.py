@@ -53,11 +53,25 @@ def maybe_init_distributed() -> bool:
         n, pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
         if n is not None and pid is not None:
             kwargs = dict(num_processes=int(n), process_id=int(pid))
+        timeout = os.environ.get("BTS_DIST_INIT_TIMEOUT")
+        if timeout is not None:
+            kwargs["initialization_timeout"] = int(timeout)
         try:
             jax.distributed.initialize(**kwargs)
             return True
-        except Exception as e:  # pragma: no cover - env-specific
-            print(f"[bts_tpu] jax.distributed.initialize failed: {e}")
+        except Exception as e:
+            # FATAL, not a fallback: the coordinator env vars say this run is
+            # part of a pod. Degrading to single-host here would leave every
+            # host training independently on the FULL dataset, all writing the
+            # same logdir — silent corruption, the worst failure mode
+            # (SURVEY.md §2.11 distribution contract).
+            raise RuntimeError(
+                "[bts_tpu] a distributed coordinator is configured "
+                "(JAX_COORDINATOR_ADDRESS/MEGASCALE_COORDINATOR_ADDRESS) but "
+                f"jax.distributed.initialize failed: {e}\nRefusing to fall "
+                "back to a single-host run — every pod host would otherwise "
+                "train independently on the full dataset into the same logdir."
+            ) from e
     return False
 
 

@@ -392,6 +392,19 @@ class Trainer:
         from bts_tpu.parallel.mesh import shard_batch, shard_batch_spatial
 
         start_step = int(state.step)  # one sync up front, none in the loop
+        trace_open = False
+
+        def _stop_trace():
+            # idempotent: runs at i==15 on the happy path, and from the
+            # ``finally`` when the loop ends between steps 10 and 15 (short
+            # runs, early ``should_stop``, stream exhaustion, exceptions) —
+            # an unclosed trace writes nothing usable (round-4 verdict #5)
+            nonlocal trace_open
+            if trace_open:
+                jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                trace_open = False
+                print(f"[bts_tpu] profile written to {profile_dir}")
 
         try:
             for i, batch in enumerate(batches):
@@ -401,10 +414,9 @@ class Trainer:
                 # the TensorBoard profile plugin format
                 if profile_dir is not None and i == 10:
                     jax.profiler.start_trace(profile_dir)
+                    trace_open = True
                 if profile_dir is not None and i == 15:
-                    jax.tree.map(lambda x: x.block_until_ready(), state.params)
-                    jax.profiler.stop_trace()
-                    print(f"[bts_tpu] profile written to {profile_dir}")
+                    _stop_trace()
                 if self.mesh is not None:
                     batch = (
                         shard_batch_spatial(batch, self.mesh)
@@ -434,6 +446,7 @@ class Trainer:
                     )
                     break
         finally:
+            _stop_trace()
             # the train stream is usually infinite — close it so the loader's
             # prefetch thread and decode pool shut down when we stop early
             close = getattr(batches, "close", None)

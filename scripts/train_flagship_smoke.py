@@ -30,6 +30,7 @@ Usage: python scripts/train_flagship_smoke.py [--steps 200] [--root DIR]
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import os
 import re
@@ -229,18 +230,26 @@ def main():
                   f"b{batch_size}{' remat' if ds['remat'] else ''}"
                   f"{' kb_crop' if ds['kb_crop'] else ''} rotate",
         "git_rev": rev,
-        "date": subprocess.run(
-            ["date", "-u", "+%Y-%m-%d"], capture_output=True, text=True
-        ).stdout.strip(),
+        "date": datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d"),
         "steps": losses[-1][0] if losses else None,
         "loss_first": losses[0][1] if losses else None,
         "loss_last": losses[-1][1] if losses else None,
         "eval": evals,
     }
-    out_path = os.path.join(REPO, "FLAGSHIP_SMOKE.json")
+    # driver/CI invocations must leave the tree clean (round-4 verdict #6):
+    # default to the gitignored .local sidecar; the builder opts into the
+    # committed record with BTS_BENCH_COMMIT_HISTORY=1 (same switch bench.py
+    # uses). Both start from the committed record so a sidecar run still
+    # carries the other dataset's last committed result.
+    committed = os.path.join(REPO, "FLAGSHIP_SMOKE.json")
+    out_path = (
+        committed
+        if os.environ.get("BTS_BENCH_COMMIT_HISTORY")
+        else os.path.join(REPO, "FLAGSHIP_SMOKE.local.json")
+    )
     merged = {}
-    if os.path.isfile(out_path):
-        with open(out_path) as f:
+    if os.path.isfile(committed):
+        with open(committed) as f:
             merged = json.load(f)
         if "recipe" in merged:  # migrate the pre-keyed single-recipe format
             merged = {"kitti": merged}

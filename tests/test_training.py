@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,6 +183,35 @@ def test_checkpoint_restore_preserves_mesh_sharding(tmp_path, rng):
         np.asarray(leaf), np.asarray(jax.tree.leaves(state.params)[0])
     )
     mgr.close()
+
+
+def test_profile_trace_closed_when_run_ends_before_stop_step(tmp_path, rng):
+    """--profile traces steps 10..15; a run that ends at num_steps=12 must
+    still CLOSE the trace (round-4 verdict #5: an unclosed
+    jax.profiler.start_trace leaks the session and writes nothing usable).
+    Asserts (a) a complete .xplane.pb landed on disk and (b) the global
+    profiler session is closed (a fresh start_trace would raise if not)."""
+    import glob
+
+    from bts_tpu.training.trainer import Trainer
+
+    cfg = tiny_cfg(batch_size=2, num_epochs=1)
+    trainer = Trainer(cfg=cfg, model=tiny_model(cfg), total_steps=20, augment=True)
+    batch = {
+        k: jnp.asarray(v) for k, v in make_batch(rng, 2, 40, 72).items()
+    }
+    state = trainer.init_state(batch)
+    profile_dir = str(tmp_path / "prof")
+    state = trainer.run(
+        state, iter([batch] * 12), num_steps=12, profile_dir=profile_dir
+    )
+    assert int(state.step) == 12
+    planes = glob.glob(f"{profile_dir}/**/*.xplane.pb", recursive=True)
+    assert planes, f"no trace written under {profile_dir}"
+    assert all(os.path.getsize(p) > 0 for p in planes)
+    # the session must be closed: start_trace raises if one is still open
+    jax.profiler.start_trace(str(tmp_path / "prof2"))
+    jax.profiler.stop_trace()
 
 
 def test_grad_accum_duplicated_microbatch_exact(rng):
